@@ -1,0 +1,15 @@
+from dynamic_asr_eval_tpu.augment.spec_augment import (
+    spec_augment,
+    cutout,
+    frame_shuffle,
+    add_random_noise,
+    apply_augmentation_pipeline,
+)
+
+__all__ = [
+    "spec_augment",
+    "cutout",
+    "frame_shuffle",
+    "add_random_noise",
+    "apply_augmentation_pipeline",
+]

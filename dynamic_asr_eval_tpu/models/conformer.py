@@ -1,0 +1,423 @@
+"""TPU-native long-context conformer-CTC encoder.
+
+Capability parity with the reference's external ``lcasr`` SCConformerXL model
+(config schema at ``earnings_finetune/lcasr160rb1.yaml:1-29``; consumed via
+``model(audio_signal=chunk) -> {'final_posteriors': ...}`` at
+``lcasr/lib.py:550``):
+
+- depthwise-striding convolutional subsampling (factor 4/8), SiLU activation
+- macaron conformer blocks: ½FF → MHSA → conv module (GLU → depthwise conv →
+  norm → SiLU) → ½FF → final norm
+- rotary position embeddings with configurable base frequency and
+  interpolation factor (long-context knob, ``lcasr160rb1.yaml:22,28`` and
+  rotary interpolation update at ``earnings_finetune/train.py:477-479``)
+- intermediate-layer self-conditioned CTC (shared head, re-embedded interim
+  softmax added back to the stream)
+- LayerNorm / BatchRenorm choice for the conv-module norm
+  (``default_norm`` knob; BatchRenorm surgery parity for the nvidia_ctc
+  backend, ``nvidia_ctc/lib.py:89-102``)
+- per-block activation rematerialization (``checkpoint_every_n_layers``)
+
+Design is TPU-first, not a port: pure functional flax module, static shapes,
+bf16 compute / fp32 params + fp32 log-softmax, length masking instead of
+ragged tensors, attention as one batched einsum (Pallas flash attention can be
+slotted in via ``attention_impl``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    feat_in: int = 80
+    n_layers: int = 6
+    d_model: int = 768
+    n_heads: int = 6
+    head_dim: int = 128
+    vocab_size: int = 4095  # output dim = vocab_size + 1 (CTC blank, last id)
+    subsampling_factor: int = 8
+    subsampling: str = "dw_striding"
+    subsampling_act: str = "silu"
+    subsampling_conv_channels: int = 256
+    subsampling_norm_out: bool = False
+    conv_kernel_size: int = 9
+    expansion_factor: int = 4
+    self_conditioning: bool = True
+    decoder_norm: bool = True
+    use_rotary: bool = True
+    rotary_base_freq: float = 1_500_000.0
+    rotary_interpolation_factor: float = 1.0
+    default_norm: str = "layer_norm"  # or "batch_renorm"
+    bias_in_ff: bool = False
+    checkpoint_every_n_layers: int = 0
+    dropout_ff: float = 0.0
+    dropout_attn: float = 0.0
+    dropout_conv: float = 0.0
+    compute_dtype: Any = jnp.bfloat16
+    attention_impl: str = "xla"  # "xla" | "pallas_flash" (kernels.attention)
+
+    @property
+    def blank_id(self) -> int:
+        return self.vocab_size
+
+    @property
+    def n_classes(self) -> int:
+        return self.vocab_size + 1
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ConformerConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+def _act(name: str):
+    return {"silu": jax.nn.silu, "relu": jax.nn.relu, "gelu": jax.nn.gelu}[name]
+
+
+def lengths_to_mask(lengths: jnp.ndarray, T: int) -> jnp.ndarray:
+    return jnp.arange(T)[None, :] < lengths[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Rotary embeddings
+# ---------------------------------------------------------------------------
+
+
+def rotary_freqs(head_dim: int, base: float, T: int, interpolation: float = 1.0):
+    inv = 1.0 / (base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    t = jnp.arange(T, dtype=jnp.float32) / interpolation
+    ang = jnp.outer(t, inv)  # [T, head_dim/2]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, T, H, D]; rotate pairs (x[..., ::2], x[..., 1::2])."""
+    d = x.shape[-1]
+    x1 = x[..., 0 : d // 2]
+    x2 = x[..., d // 2 :]
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+
+class BatchRenorm(nn.Module):
+    """Batch renormalization (Ioffe 2017) over the feature axis of [B, T, C]
+    inputs with a time mask.  The nvidia_ctc backend swaps BatchNorm →
+    BatchRenorm1d before TTA (``nvidia_ctc/lib.py:89-102``); here it is a
+    first-class norm choice.  In TTA the model runs in eval mode so only
+    running statistics are used (reference: ``model.eval()`` at
+    ``lcasr/lib.py:527``)."""
+
+    features: int
+    momentum: float = 0.001
+    eps: float = 1e-5
+    rmax: float = 3.0
+    dmax: float = 5.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average: bool = True):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            xn = (xf - mean) / jnp.sqrt(var + self.eps)
+        else:
+            if mask is None:
+                mask = jnp.ones(x.shape[:2], bool)
+            m = mask[..., None].astype(jnp.float32)
+            cnt = jnp.maximum(m.sum((0, 1)), 1.0)
+            mean = (xf * m).sum((0, 1)) / cnt
+            var = ((xf - mean) ** 2 * m).sum((0, 1)) / cnt
+            std = jnp.sqrt(var + self.eps)
+            r_std = jnp.sqrt(ra_var.value + self.eps)
+            r = jax.lax.stop_gradient(jnp.clip(std / r_std, 1.0 / self.rmax, self.rmax))
+            d = jax.lax.stop_gradient(
+                jnp.clip((mean - ra_mean.value) / r_std, -self.dmax, self.dmax)
+            )
+            xn = (xf - mean) / std * r + d
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        out = xn * scale + bias
+        return out.astype(x.dtype)
+
+
+class Norm(nn.Module):
+    """default_norm dispatcher: layer_norm or batch_renorm."""
+
+    features: int
+    kind: str = "layer_norm"
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average: bool = True):
+        if self.kind == "layer_norm":
+            return nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        if self.kind == "batch_renorm":
+            return BatchRenorm(self.features)(x, mask, use_running_average)
+        raise ValueError(f"unknown norm kind {self.kind}")
+
+
+# ---------------------------------------------------------------------------
+# Subsampling
+# ---------------------------------------------------------------------------
+
+
+class DWStridingSubsampling(nn.Module):
+    """Depthwise-striding conv subsampling: one full Conv2d stride 2, then
+    (log2(factor)-1) × [depthwise stride-2 conv + pointwise conv], SiLU
+    between, final linear to d_model.  Input [B, T, F] → [B, T/factor, d]."""
+
+    config: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        act = _act(cfg.subsampling_act)
+        n_stages = {2: 1, 4: 2, 8: 3}[cfg.subsampling_factor]
+        C = cfg.subsampling_conv_channels
+        h = x[..., None]  # [B, T, F, 1]
+        h = nn.Conv(
+            C, (3, 3), strides=(2, 2), padding="SAME", dtype=cfg.compute_dtype,
+            param_dtype=jnp.float32, name="conv_in",
+        )(h)
+        h = act(h)
+        for i in range(n_stages - 1):
+            h = nn.Conv(
+                C, (3, 3), strides=(2, 2), padding="SAME",
+                feature_group_count=C, dtype=cfg.compute_dtype,
+                param_dtype=jnp.float32, name=f"dw_conv_{i}",
+            )(h)
+            h = nn.Conv(
+                C, (1, 1), dtype=cfg.compute_dtype, param_dtype=jnp.float32,
+                name=f"pw_conv_{i}",
+            )(h)
+            h = act(h)
+        B, T_ds, F_ds, _ = h.shape
+        h = h.reshape(B, T_ds, F_ds * C)
+        h = nn.Dense(
+            cfg.d_model, dtype=cfg.compute_dtype, param_dtype=jnp.float32, name="out"
+        )(h)
+        if cfg.subsampling_norm_out:
+            h = nn.LayerNorm(dtype=h.dtype, param_dtype=jnp.float32, name="norm_out")(h)
+        return h
+
+
+# ---------------------------------------------------------------------------
+# Conformer block
+# ---------------------------------------------------------------------------
+
+
+class FeedForward(nn.Module):
+    config: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        h = nn.Dense(
+            cfg.d_model * cfg.expansion_factor, use_bias=cfg.bias_in_ff,
+            dtype=cfg.compute_dtype, param_dtype=jnp.float32, name="in",
+        )(h)
+        h = jax.nn.silu(h)
+        h = nn.Dropout(cfg.dropout_ff)(h, deterministic=deterministic)
+        h = nn.Dense(
+            cfg.d_model, use_bias=cfg.bias_in_ff, dtype=cfg.compute_dtype,
+            param_dtype=jnp.float32, name="out",
+        )(h)
+        return nn.Dropout(cfg.dropout_ff)(h, deterministic=deterministic)
+
+
+class MHSA(nn.Module):
+    config: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, mask, cos, sin, deterministic: bool = True):
+        cfg = self.config
+        H, D = cfg.n_heads, cfg.head_dim
+        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        qkv = nn.Dense(
+            3 * H * D, use_bias=False, dtype=cfg.compute_dtype,
+            param_dtype=jnp.float32, name="qkv",
+        )(h)
+        B, T, _ = qkv.shape
+        q, k, v = jnp.split(qkv.reshape(B, T, 3, H, D), 3, axis=2)
+        q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # [B, T, H, D]
+        if cfg.use_rotary:
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+        if cfg.attention_impl == "pallas_flash":
+            from dynamic_asr_eval_tpu.kernels.attention import flash_attention
+
+            out = flash_attention(q, k, v, mask)
+        else:
+            scale = 1.0 / jnp.sqrt(D).astype(cfg.compute_dtype)
+            logits = jnp.einsum(
+                "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
+            attn = jax.nn.softmax(logits + bias, axis=-1).astype(cfg.compute_dtype)
+            out = jnp.einsum("bhts,bshd->bthd", attn, v)
+        out = out.reshape(B, T, H * D)
+        out = nn.Dense(
+            cfg.d_model, dtype=cfg.compute_dtype, param_dtype=jnp.float32, name="out"
+        )(out)
+        return nn.Dropout(cfg.dropout_attn)(out, deterministic=deterministic)
+
+
+class ConvModule(nn.Module):
+    config: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True, use_running_average: bool = True):
+        cfg = self.config
+        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        h = nn.Dense(
+            2 * cfg.d_model, dtype=cfg.compute_dtype, param_dtype=jnp.float32,
+            name="pw1",
+        )(h)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(b)  # GLU
+        h = jnp.where(mask[..., None], h, 0)  # keep padding silent under conv
+        h = nn.Conv(
+            cfg.d_model, (cfg.conv_kernel_size,), padding="SAME",
+            feature_group_count=cfg.d_model, dtype=cfg.compute_dtype,
+            param_dtype=jnp.float32, name="dw",
+        )(h)
+        h = Norm(cfg.d_model, cfg.default_norm, name="norm")(
+            h, mask, use_running_average
+        )
+        h = jax.nn.silu(h)
+        h = nn.Dense(
+            cfg.d_model, dtype=cfg.compute_dtype, param_dtype=jnp.float32, name="pw2"
+        )(h)
+        return nn.Dropout(cfg.dropout_conv)(h, deterministic=deterministic)
+
+
+class ConformerBlock(nn.Module):
+    config: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, mask, cos, sin, deterministic: bool = True, use_running_average: bool = True):
+        cfg = self.config
+        x = x + 0.5 * FeedForward(cfg, name="ff1")(x, deterministic)
+        x = x + MHSA(cfg, name="attn")(x, mask, cos, sin, deterministic)
+        x = x + ConvModule(cfg, name="conv")(x, mask, deterministic, use_running_average)
+        x = x + 0.5 * FeedForward(cfg, name="ff2")(x, deterministic)
+        return nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32, name="norm_out")(x)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+class SCConformer(nn.Module):
+    """Self-conditioned conformer-CTC encoder.
+
+    Call convention mirrors the reference model surface
+    (``model(audio_signal=...)['final_posteriors']``, ``lcasr/lib.py:550``):
+    input ``audio_signal`` is ``[B, feat_in, T]``; returns a dict with
+    ``final_posteriors`` ``[B, T_ds, vocab+1]`` (fp32 log-softmax),
+    ``interim_posteriors`` ``[n_layers-1, B, T_ds, vocab+1]`` (when
+    self-conditioning) and ``length`` ``[B]`` downsampled lengths.
+    """
+
+    config: ConformerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        audio_signal: jnp.ndarray,
+        length: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        use_running_average: bool = True,
+        return_interim: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        x = jnp.swapaxes(audio_signal, 1, 2)  # [B, T, F]
+        B, T, _ = x.shape
+        if length is None:
+            length = jnp.full((B,), T, dtype=jnp.int32)
+        x = jnp.where(lengths_to_mask(length, T)[..., None], x, 0)
+        x = x.astype(cfg.compute_dtype)
+
+        h = DWStridingSubsampling(cfg, name="subsampling")(x)
+        T_ds = h.shape[1]
+        ds_length = jnp.ceil(length / cfg.subsampling_factor).astype(jnp.int32)
+        mask = lengths_to_mask(ds_length, T_ds)
+        h = jnp.where(mask[..., None], h, 0)
+
+        cos, sin = rotary_freqs(
+            cfg.head_dim, cfg.rotary_base_freq, T_ds, cfg.rotary_interpolation_factor
+        )
+
+        # shared CTC head (the "decoder" in reference terms) + shared
+        # re-embedding for self-conditioning
+        head_norm = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="decoder_norm")
+        head = nn.Dense(cfg.n_classes, dtype=jnp.float32, param_dtype=jnp.float32, name="decoder")
+        reembed = nn.Dense(
+            cfg.d_model, use_bias=False, dtype=cfg.compute_dtype,
+            param_dtype=jnp.float32, name="self_condition_reembed",
+        )
+
+        def ctc_logits(hid):
+            z = hid.astype(jnp.float32)
+            if cfg.decoder_norm:
+                z = head_norm(z)
+            return jax.nn.log_softmax(head(z), axis=-1)
+
+        interim = []
+        blocks = []
+        for i in range(cfg.n_layers):
+            block_cls = ConformerBlock
+            if cfg.checkpoint_every_n_layers and i % cfg.checkpoint_every_n_layers == 0:
+                block_cls = nn.remat(ConformerBlock, static_argnums=(5, 6))
+            blocks.append(block_cls(cfg, name=f"layer_{i}"))
+
+        for i, block in enumerate(blocks):
+            h = block(h, mask, cos, sin, deterministic, use_running_average)
+            if cfg.self_conditioning and i < cfg.n_layers - 1:
+                lp = ctc_logits(h)
+                if return_interim:
+                    interim.append(lp)
+                h = h + reembed(jnp.exp(lp).astype(cfg.compute_dtype))
+                h = jnp.where(mask[..., None], h, 0)
+
+        final = ctc_logits(h)
+        out = {"final_posteriors": final, "length": ds_length}
+        if return_interim and interim:
+            out["interim_posteriors"] = jnp.stack(interim)
+        return out
+
+
+def init_conformer(
+    config: ConformerConfig,
+    rng: jax.Array,
+    example_T: int = 1024,
+) -> Tuple[SCConformer, Dict[str, Any]]:
+    """Initialize model + variables with a small example batch."""
+    model = SCConformer(config)
+    x = jnp.zeros((1, config.feat_in, example_T), jnp.float32)
+    variables = model.init({"params": rng}, x)
+    return model, variables

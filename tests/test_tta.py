@@ -1,0 +1,164 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_asr_eval_tpu.config import SpecAugmentConfig, TTAConfig
+from dynamic_asr_eval_tpu.models import ConformerConfig, init_conformer
+from dynamic_asr_eval_tpu.ops.chunk import chunk_spectrogram
+from dynamic_asr_eval_tpu.ops.stitch import stitch_chunk_probs, trim_stitched
+from dynamic_asr_eval_tpu.tta import AWMCEngine, DynamicEvalEngine
+
+
+CFG = ConformerConfig(
+    feat_in=16,
+    n_layers=2,
+    d_model=32,
+    n_heads=2,
+    head_dim=16,
+    vocab_size=28,
+    subsampling_factor=4,
+    subsampling_conv_channels=8,
+    conv_kernel_size=5,
+    compute_dtype=jnp.float32,
+)
+
+SEQ, OVER = 64, 32  # tiny windows
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    return init_conformer(CFG, jax.random.PRNGKey(0), example_T=SEQ)
+
+
+def make_spec(T=200, seed=0):
+    return np.random.default_rng(seed).standard_normal((16, T)).astype(np.float32)
+
+
+def tta_cfg(**kw):
+    base = dict(seq_len=SEQ, overlap=OVER, epochs=1, shuffle=False,
+                spec_augment=SpecAugmentConfig(n_freq_masks=2, freq_mask_param=4),
+                optim_args={"lr": 1e-4})
+    base.update(kw)
+    return TTAConfig(**base)
+
+
+class TestInferencePath:
+    def test_epochs0_matches_manual_stitch(self, model_and_vars):
+        """epochs=0 turns the engine into pure windowed inference
+        (the reference reuse trick, run_in_dataset_eval.py:96-99)."""
+        model, variables = model_and_vars
+        spec = make_spec(200)
+        engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=0))
+        out = engine(variables, spec)
+
+        # manual: forward each window, stitch
+        windows, lengths, starts, n_real = chunk_spectrogram(spec, SEQ, OVER)
+        lps, ds_lens = [], []
+        for i in range(windows.shape[0]):
+            o = model.apply(variables, jnp.asarray(windows[i][None]), length=jnp.asarray([lengths[i]]))
+            lps.append(o["final_posteriors"][0])
+            ds_lens.append(int(np.ceil(lengths[i] / CFG.subsampling_factor)) if lengths[i] else 0)
+        probs = jnp.exp(jnp.stack(lps))
+        total_ds = -(-200 // 4) + SEQ // 4
+        log_avg, counts = stitch_chunk_probs(
+            probs, jnp.asarray(ds_lens), jnp.asarray(starts // 4), total_ds
+        )
+        manual = trim_stitched(log_avg, counts)
+        assert out.logits.shape == manual.shape
+        np.testing.assert_allclose(out.logits, manual, rtol=1e-4, atol=1e-5)
+
+    def test_short_spec_single_window(self, model_and_vars):
+        model, variables = model_and_vars
+        spec = make_spec(40)  # shorter than seq_len
+        engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=0))
+        out = engine(variables, spec)
+        assert out.logits.shape == (10, CFG.n_classes)
+        direct = model.apply(variables, jnp.asarray(spec[None]))["final_posteriors"][0]
+        np.testing.assert_allclose(out.logits, np.asarray(direct), rtol=1e-4, atol=1e-5)
+
+
+class TestAdaptation:
+    def test_adapt_changes_params_and_returns_finite(self, model_and_vars):
+        model, variables = model_and_vars
+        spec = make_spec(200)
+        engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=1))
+        out = engine(variables, spec, return_params=True)
+        assert np.isfinite(out.logits).all()
+        # params adapted
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), variables["params"], out.params
+        )
+        assert max(jax.tree.leaves(diffs)) > 0
+        # originals untouched (restore-invariance is structural in JAX)
+        assert out.logits.shape[1] == CFG.n_classes
+
+    def test_determinism(self, model_and_vars):
+        model, variables = model_and_vars
+        spec = make_spec(200)
+        engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=1))
+        o1 = engine(variables, spec, rng=jax.random.PRNGKey(7), shuffle_rng=np.random.default_rng(1))
+        o2 = engine(variables, spec, rng=jax.random.PRNGKey(7), shuffle_rng=np.random.default_rng(1))
+        np.testing.assert_array_equal(o1.logits, o2.logits)
+
+    def test_online_mode(self, model_and_vars):
+        model, variables = model_and_vars
+        spec = make_spec(200)
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(online=True, shuffle=False)
+        )
+        out = engine(variables, spec)
+        assert np.isfinite(out.logits).all()
+
+    def test_shuffle_mode(self, model_and_vars):
+        model, variables = model_and_vars
+        spec = make_spec(300)
+        engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(shuffle=True))
+        out = engine(variables, spec)
+        assert np.isfinite(out.logits).all()
+
+    def test_epochs2(self, model_and_vars):
+        model, variables = model_and_vars
+        spec = make_spec(150)
+        engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=2))
+        out = engine(variables, spec)
+        assert np.isfinite(out.logits).all()
+
+    def test_bitfit_only_touches_biases(self, model_and_vars):
+        model, variables = model_and_vars
+        spec = make_spec(150)
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor,
+            tta_cfg(bitfit=True, optim_args={"lr": 1e-3}),
+        )
+        out = engine(variables, spec, return_params=True)
+
+        def check(path, a, b):
+            name = str(path[-1].key) if hasattr(path[-1], "key") else str(path[-1])
+            changed = float(jnp.abs(a - b).max()) > 0
+            if name != "bias":
+                assert not changed, f"non-bias param changed: {path}"
+
+        jax.tree_util.tree_map_with_path(check, variables["params"], out.params)
+
+
+class TestAWMC:
+    def test_awmc_runs(self, model_and_vars):
+        model, variables = model_and_vars
+        spec = make_spec(200)
+        cfg = tta_cfg(epochs=1, ema_decay=0.99)
+        engine = AWMCEngine(model, CFG.blank_id, CFG.subsampling_factor, cfg)
+        out = engine(variables, spec, return_params=True)
+        assert np.isfinite(out.logits).all()
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), variables["params"], out.params
+        )
+        assert max(jax.tree.leaves(diffs)) > 0
+
+    def test_awmc_short_spec(self, model_and_vars):
+        model, variables = model_and_vars
+        spec = make_spec(40)
+        engine = AWMCEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg())
+        out = engine(variables, spec)
+        assert out.logits.shape == (10, CFG.n_classes)
