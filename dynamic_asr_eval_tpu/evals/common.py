@@ -1,0 +1,134 @@
+"""Shared driver toolkit: model/tokenizer loading, engine dispatch, decoding,
+and the result-pickle schema.
+
+Mirrors the plumbing every reference driver repeats (``lcasr/run.py:33-158``):
+checkpoint → config → model → tokenizer → dataset adapter → engine → decode →
+normalize → WER → log/pickle.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from dynamic_asr_eval_tpu.config import TTAConfig, load_yaml
+from dynamic_asr_eval_tpu.models import ConformerConfig, SCConformer, init_conformer
+from dynamic_asr_eval_tpu.text import load_tokenizer, normalize, word_error_rate_detail
+from dynamic_asr_eval_tpu.tta import AWMCEngine, DynamicEvalEngine
+
+
+def load_model_and_tokenizer(args) -> Tuple[Any, Dict, Any, ConformerConfig]:
+    """Build (model, variables, tokenizer, config) from args.
+
+    Sources, in priority order:
+    1. ``--checkpoint`` — a flax msgpack checkpoint written by
+       ``save_checkpoint`` (carries config + params + tokenizer info);
+    2. ``--config`` — a model-config yaml (lcasr160rb1-style schema,
+       ``earnings_finetune/lcasr160rb1.yaml``), randomly initialized;
+    3. neither — a small default model (tests / smoke runs).
+    """
+    tokenizer = load_tokenizer(getattr(args, "tokenizer", None) or None)
+    vocab = tokenizer.vocab_size()
+
+    if getattr(args, "checkpoint", ""):
+        from dynamic_asr_eval_tpu.models.checkpoint import load_checkpoint
+
+        model, variables, cfg = load_checkpoint(args.checkpoint)
+        return model, variables, tokenizer, cfg
+
+    if getattr(args, "config", ""):
+        raw = load_yaml(args.config)
+        mc = dict(raw.get("model", raw))
+        mc.setdefault("vocab_size", vocab)
+        for k in ("dropout_ff", "dropout_attn", "dropout_conv", "flash_attn",
+                  "shift_kvs", "qk_rms_norm", "self_condition_subsampling",
+                  "gated_sc", "sandwich_norm", "encoder_mode"):
+            mc.pop(k, None)
+        cfg = ConformerConfig.from_dict(mc)
+    else:
+        cfg = ConformerConfig(
+            feat_in=80, n_layers=2, d_model=64, n_heads=2, head_dim=32,
+            vocab_size=vocab, subsampling_factor=4, subsampling_conv_channels=8,
+            conv_kernel_size=5,
+        )
+    seed = int(getattr(args, "seed", 0) or 0)
+    model, variables = init_conformer(cfg, jax.random.PRNGKey(seed), example_T=512)
+    return model, variables, tokenizer, cfg
+
+
+def build_engine(args, model, cfg: ConformerConfig, engine_kind: str = "dynamic_eval"):
+    tta = TTAConfig.from_args(args)
+    cls = {"dynamic_eval": DynamicEvalEngine, "awmc": AWMCEngine}[engine_kind]
+    return cls(model, cfg.blank_id, cfg.subsampling_factor, tta)
+
+
+def decode_output(out, tokenizer, beam_search_fn: Optional[Callable] = None,
+                  beams: int = 1) -> str:
+    """Final decode of a stitched engine output: on-device greedy (ids only
+    cross to host), or an LM beam search over the host logits."""
+    if beam_search_fn is not None and beams > 1:
+        logits = out.numpy_logits()
+        return beam_search_fn(logits, beam_width=beams)
+    ids = out.greedy_ids()
+    return tokenizer.decode([int(i) for i in ids])
+
+
+def evaluate_records(
+    records: List[Dict],
+    run_one: Callable[[Dict], Tuple[str, str]],
+    log_path: str = "",
+    verbose: bool = True,
+) -> Tuple[float, Dict]:
+    """Loop records → (hyp, gold) pairs → corpus WER with detail.
+
+    ``run_one(record) -> (hypothesis_text, gold_text)``."""
+    all_texts, all_golds, elapsed_times = [], [], []
+    for rec in records:
+        t0 = time.time()
+        hyp, gold = run_one(rec)
+        elapsed_times.append(time.time() - t0)
+        if verbose:
+            print(gold, "\n", hyp, "\n\n")
+        all_texts.append(hyp)
+        all_golds.append(gold)
+    wer, words, ins_rate, del_rate, sub_rate = word_error_rate_detail(
+        hypotheses=all_texts, references=all_golds
+    )
+    detail = {
+        "wer": wer,
+        "words": words,
+        "ins_rate": ins_rate,
+        "del_rate": del_rate,
+        "sub_rate": sub_rate,
+        "model_output": all_texts,
+        "gold": all_golds,
+        "elapsed_times": elapsed_times,
+    }
+    return wer, detail
+
+
+def save_result_pickle(save_path: str, detail: Dict, args, repeat: int, repeats: int):
+    """Result pickle with the reference schema (``lcasr/run.py:127-144``)."""
+    data = dict(detail)
+    data["args_dict"] = vars(args) if hasattr(args, "__dict__") else dict(args)
+    data["repeat"] = f"{repeat + 1}/{repeats}"
+    path = save_path
+    if path.endswith(".pkl"):
+        path = path[: -len(".pkl")] + f"_{repeat + 1}.pkl"
+    else:
+        path = path + f"_{repeat + 1}.pkl"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    return path
+
+
+def append_log(log_path: str, line: str):
+    if log_path:
+        with open(log_path, "a") as f:
+            f.write(line + "\n")

@@ -1,0 +1,79 @@
+"""Per-recording dynamic evaluation driver.
+
+Capability parity with ``lcasr/run.py`` and ``run_dynamic_eval_full.py``:
+TTA each recording independently (restore between recordings is implicit —
+parameters are immutable), repeats for stochastic-noise control, greedy or LM
+beam final decode, per-recording wall time, WER + log + result pickle.
+
+CLI: ``python -m dynamic_asr_eval_tpu.evals.run -d synthetic -kwargs
+optim_lr=9e-5 epochs=1 online=true``
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from dynamic_asr_eval_tpu.config import apply_args
+from dynamic_asr_eval_tpu.data import get_dataset
+from dynamic_asr_eval_tpu.evals.common import (
+    append_log,
+    build_engine,
+    decode_output,
+    evaluate_records,
+    load_model_and_tokenizer,
+    save_result_pickle,
+)
+from dynamic_asr_eval_tpu.text import normalize
+
+
+def main(args) -> float:
+    model, variables, tokenizer, cfg = load_model_and_tokenizer(args)
+    engine_kind = "awmc" if getattr(args, "awmc", False) else "dynamic_eval"
+    engine = build_engine(args, model, cfg, engine_kind)
+    records = get_dataset(args.dataset, args.split)
+
+    wers = []
+    repeats = getattr(args, "repeats", 1)
+    for repeat in range(repeats):
+
+        def run_one(rec):
+            spec, gold = rec["process_fn"](rec)
+            out = engine(
+                variables, spec, args.seq_len, args.overlap,
+                rng=None if getattr(args, "seed", None) is None else None,
+            )
+            hyp = normalize(decode_output(out, tokenizer, beams=getattr(args, "beams", 1)))
+            return hyp, gold
+
+        wer, detail = evaluate_records(records, run_one, verbose=not getattr(args, "quiet", False))
+        print(f"WER: {wer}")
+        append_log(
+            getattr(args, "log", ""),
+            f"{getattr(args, 'checkpoint', '')}\t overlap: {args.overlap}\t "
+            f"seq_len: {args.seq_len}\t WER: {wer}",
+        )
+        if getattr(args, "save_path", ""):
+            save_result_pickle(args.save_path, detail, args, repeat, repeats)
+        wers.append(wer)
+
+    mean_wer = sum(wers) / len(wers)
+    print(f"Average WER: {mean_wer}")
+    return mean_wer
+
+
+def cli(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-d", "--dataset", type=str, default="synthetic")
+    parser.add_argument("-r", "--repeats", type=int, default=1)
+    parser.add_argument("-s", "--save_path", type=str, default="")
+    parser.add_argument("--awmc", action="store_true", help="use the AWMC engine")
+    parser.add_argument("--tokenizer", type=str, default="")
+    parser.add_argument("--quiet", action="store_true")
+    args = apply_args(parser, argv)
+    return main(args)
+
+
+if __name__ == "__main__":
+    cli()

@@ -419,5 +419,7 @@ def init_conformer(
     """Initialize model + variables with a small example batch."""
     model = SCConformer(config)
     x = jnp.zeros((1, config.feat_in, example_T), jnp.float32)
-    variables = model.init({"params": rng}, x)
+    # jit the init: eager flax init dispatches hundreds of single ops, which
+    # is pathologically slow on tunneled TPU backends (~0.4 s per op compile)
+    variables = jax.jit(model.init)({"params": rng}, x)
     return model, variables

@@ -10,30 +10,36 @@ as a fully on-device pipeline.  Reference semantics preserved:
   step on the *augmented* stream (``lcasr/lib.py:539-581``), loss summed and
   divided by ``frames × num_negatives`` (``:573-575``);
 - ``online`` mode stitches the clean output of the adaptation pass itself
-  (epochs=1, no shuffle, no final pass; ``:583-590,594``); offline mode does
+  (epochs=1, no shuffle, no final pass; ``:583-590``); offline mode does
   a fresh no-grad pass with the adapted weights (``:596-612``);
 - stitching = overlap probability averaging then log (``:615-629``);
 - parameter restore-invariance is free: parameters are immutable pytrees, the
-  engine returns adapted params separately (`return_params`,
+  engine returns adapted params separately (``return_params``,
   ``lcasr/lib.py:631-637``).
 
-TPU-first differences (the point of the rebuild — BASELINE.json north star:
-"per-recording SGD updates without host round-trips"):
+TPU-first design (BASELINE.json north star: "per-recording SGD updates
+without host round-trips"):
 
+- the spectrogram is uploaded ONCE; windows are sliced on device inside the
+  scan (``lax.dynamic_slice``) — no ``[N, F, W]`` window stack either on host
+  or in HBM;
 - pseudo-label greedy decode happens on device (``ops.ctc.greedy_labels``) —
   the reference ships logits to CPU every chunk (``lcasr/lib.py:559``);
-- the whole per-recording adaptation is ONE jitted ``lax.scan`` over windows
-  (no per-chunk dispatch, no host sync);
+- the whole per-recording adaptation (including optimizer init) is ONE jitted
+  call: a ``lax.scan`` over windows;
+- stitched log-probs STAY on device (``EngineOutput.logits`` is a
+  ``jax.Array``); greedy decoding of the stitched matrix is on-device too, so
+  only token ids ever cross back to the host.  ``EngineOutput.numpy_logits()``
+  materializes the matrix for callers that need it (pickled results).
 - window count is bucket-padded (powers of two) so recompiles are bounded;
-  padded windows are skipped with ``lax.cond``;
-- inference stitches via a scatter-add accumulator carried through the scan.
+  padded windows are skipped with ``lax.cond``.
 """
 
 from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,20 +48,47 @@ import optax
 
 from dynamic_asr_eval_tpu.augment import apply_augmentation_pipeline
 from dynamic_asr_eval_tpu.config import TTAConfig
-from dynamic_asr_eval_tpu.ops.chunk import chunk_spectrogram
+from dynamic_asr_eval_tpu.ops.chunk import chunk_starts_and_lengths, pad_num_chunks
 from dynamic_asr_eval_tpu.ops.ctc import ctc_loss, greedy_labels
 from dynamic_asr_eval_tpu.optim.madgrad import madgrad
 from dynamic_asr_eval_tpu.optim.masks import masked_optimizer, param_labels
 
 
-class EngineOutput(NamedTuple):
-    logits: np.ndarray  # stitched [T_total_ds, V] log-probs
-    params: Optional[Any]  # adapted params (None unless return_params)
-    elapsed: float
-
-
 def _ds_ceil(x, factor):
     return -(-x // factor)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _jit_greedy_stitched(logits, counts, blank_id: int, max_tokens: int):
+    n_valid = jnp.sum(counts > 0)
+    return greedy_labels(logits, n_valid, blank_id, max_tokens)
+
+
+class EngineOutput:
+    """Result of a dynamic-eval run.  ``logits``/``counts`` are device arrays
+    (full padded buffer); use ``numpy_logits()`` for the trimmed host matrix
+    or ``greedy_ids()`` for an on-device decode."""
+
+    def __init__(self, logits, counts, params, elapsed: float, blank_id: int):
+        self.logits = logits  # [total_ds, V] device log-probs
+        self.counts = counts  # [total_ds] device coverage counts
+        self.params = params
+        self.elapsed = elapsed
+        self._blank_id = blank_id
+
+    def numpy_logits(self) -> np.ndarray:
+        counts = np.asarray(self.counts)
+        return np.asarray(self.logits)[counts > 0].astype(np.float32)
+
+    def greedy_ids(self, max_tokens: Optional[int] = None) -> np.ndarray:
+        """On-device greedy CTC decode of the stitched matrix; only the token
+        ids are transferred to host."""
+        T = self.logits.shape[0]
+        max_tokens = max_tokens or max(8, T // 2)
+        ids, length = _jit_greedy_stitched(
+            self.logits, self.counts, self._blank_id, max_tokens
+        )
+        return np.asarray(ids)[: int(length)]
 
 
 class DynamicEvalEngine:
@@ -71,6 +104,8 @@ class DynamicEvalEngine:
     max_label_frames_ratio : pseudo-label cap as a fraction of downsampled
         frames (bounds the CTC DP width; reference teacher filters use
         ``min_frames_per_token`` similarly, ``enc_dec_teacher_filters.py:177``).
+    transfer_dtype : dtype for the one-time spectrogram upload (bf16 halves
+        the host→device traffic; compute still follows the model config).
     """
 
     def __init__(
@@ -83,7 +118,7 @@ class DynamicEvalEngine:
         num_negatives: int = 1,
         max_label_frames_ratio: float = 0.25,
         infer_batch: int = 4,
-        label_fn: Optional[Callable] = None,
+        transfer_dtype=jnp.float32,
     ):
         self.model = model
         self.blank_id = blank_id
@@ -92,12 +127,13 @@ class DynamicEvalEngine:
         self.num_negatives = num_negatives
         self.max_label_frames_ratio = max_label_frames_ratio
         self.infer_batch = infer_batch
-        self.label_fn = label_fn
+        self.transfer_dtype = transfer_dtype
         if optimizer is None:
             opt_args = dict(config.optim_args)
             lr = opt_args.pop("lr", 9e-5)
             optimizer = madgrad(learning_rate=lr, **opt_args)
         self.optimizer = optimizer
+        self.optimizer_wrapped: Optional[optax.GradientTransformation] = None
         self._adapt_cache: Dict[Tuple, Callable] = {}
         self._infer_cache: Dict[Tuple, Callable] = {}
 
@@ -117,15 +153,22 @@ class DynamicEvalEngine:
         )
         return masked_optimizer(self.optimizer, labels)
 
-    # -- single adaptation step (traced) ----------------------------------
     def _forward(self, variables, batch, lengths):
         return self.model.apply(variables, batch, length=lengths)
 
-    def _adapt_step(self, optimizer, extra_vars, max_tokens, carry, xs):
-        params, opt_state, key = carry
-        window, w_len = xs  # [F, W], scalar
+    # -- single adaptation step (traced) ----------------------------------
+    def _adapt_step(self, optimizer, extra_vars, max_tokens, total_ds, W, spec_dev, carry, xs):
+        """One window: slice from the on-device spectrogram → augment →
+        forward [aug…, clean] → on-device pseudo-label → CTC grad step.
+        In online mode the carry also holds the stitching accumulators."""
+        params, opt_state, key, acc = carry
+        start, w_len, start_ds = xs  # scalars
         key, k_aug = jax.random.split(key)
         nn = self.num_negatives
+        F = spec_dev.shape[0]
+        window = jax.lax.dynamic_slice(spec_dev, (0, start), (F, W)).astype(jnp.float32)
+        T_ds_static = _ds_ceil(W, self.ds)
+        V = self.blank_id + 1
 
         def do_step(params, opt_state):
             aug = jnp.repeat(window[None], nn, axis=0)
@@ -161,33 +204,70 @@ class DynamicEvalEngine:
             return new_params, new_opt_state, clean_lp, ds_len, loss
 
         def skip(params, opt_state):
-            T_ds = _ds_ceil(window.shape[-1], self.ds)
-            V = self.blank_id + 1
-            return params, opt_state, jnp.zeros((T_ds, V), jnp.float32), jnp.asarray(0, jnp.int32), jnp.asarray(0.0, jnp.float32)
+            return (
+                params, opt_state,
+                jnp.zeros((T_ds_static, V), jnp.float32),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0.0, jnp.float32),
+            )
 
         new_params, new_opt, clean_lp, ds_len, loss = jax.lax.cond(
             w_len > 0, do_step, skip, params, opt_state
         )
-        return (new_params, new_opt, key), (clean_lp, ds_len, loss)
 
-    def _build_adapt(self, W: int, N: int, extra_vars_treedef):
-        """Jitted scan over (possibly permuted) windows; returns adapted
-        params + per-window clean log-probs in *visit order*."""
-        T_ds = W // self.ds
-        max_tokens = max(8, int(T_ds * self.max_label_frames_ratio))
-
-        def run(params, opt_state, extra_vars, windows, lengths, order, key):
-            step = partial(self._adapt_step, self.optimizer_wrapped, extra_vars, max_tokens)
-            xs = (windows[order], lengths[order])
-            (params, opt_state, _), (clean_lps, ds_lens, losses) = jax.lax.scan(
-                step, (params, opt_state, key), xs
+        if acc is not None:  # online stitching accumulation (order-free scatter)
+            acc_probs, acc_counts = acc
+            fidx = jnp.arange(T_ds_static)
+            m = fidx < ds_len
+            pos = jnp.where(m, start_ds + fidx, total_ds)
+            acc_probs = acc_probs.at[pos].add(
+                jnp.exp(clean_lp) * m[:, None], mode="drop"
             )
-            return params, opt_state, clean_lps, ds_lens, losses
+            acc_counts = acc_counts.at[pos].add(m.astype(jnp.float32), mode="drop")
+            acc = (acc_probs, acc_counts)
 
-        # NOTE: no donation — madgrad's x0 state aliases the incoming params
-        # buffer on the first call, and donating both trips XLA's
-        # double-donation check.
+        return (new_params, new_opt, key, acc), loss
+
+    def _build_adapt(self, W: int, N: int, total_ds: int, online: bool):
+        """One jitted call per recording-shape bucket: optimizer init + scan
+        over windows (+ online stitching)."""
+        T_ds = _ds_ceil(W, self.ds)
+        max_tokens = max(8, int(T_ds * self.max_label_frames_ratio))
+        V = self.blank_id + 1
+
+        def run(params, opt_state, extra_vars, spec_dev, starts, lengths, starts_ds, order, key):
+            step = partial(
+                self._adapt_step, self.optimizer_wrapped, extra_vars,
+                max_tokens, total_ds, W, spec_dev,
+            )
+            xs = (starts[order], lengths[order], starts_ds[order])
+            acc0 = (
+                (jnp.zeros((total_ds + 1, V), jnp.float32),
+                 jnp.zeros((total_ds + 1,), jnp.float32))
+                if online else None
+            )
+            (params, opt_state, _, acc), losses = jax.lax.scan(
+                step, (params, opt_state, key, acc0), xs
+            )
+            if online:
+                log_avg = jnp.log(
+                    jnp.maximum(
+                        acc[0][:total_ds] / jnp.maximum(acc[1][:total_ds, None], 1.0),
+                        1e-12,
+                    )
+                )
+                return params, opt_state, losses, log_avg, acc[1][:total_ds]
+            return params, opt_state, losses
+
+        # NOTE: no donation of params — madgrad's x0 state aliases the
+        # incoming params buffer on the first call (double-donation trap).
         return jax.jit(run)
+
+    def _build_opt_init(self):
+        def init(params):
+            return self.optimizer_wrapped.init(params)
+
+        return jax.jit(init)
 
     # -- inference (no-grad chunked forward + stitch) ----------------------
     def _build_infer(self, W: int, N: int, total_ds: int):
@@ -196,31 +276,29 @@ class DynamicEvalEngine:
         n_batches = -(-N // b)
         pad_N = n_batches * b
 
-        def run(variables, windows, lengths, starts_ds):
-            # pad to batch multiple
+        def run(variables, spec_dev, starts, lengths, starts_ds):
+            F = spec_dev.shape[0]
             if pad_N != N:
-                windows = jnp.concatenate(
-                    [windows, jnp.zeros((pad_N - N,) + windows.shape[1:], windows.dtype)]
-                )
-                lengths = jnp.concatenate([lengths, jnp.zeros((pad_N - N,), lengths.dtype)])
-                starts_ds_p = jnp.concatenate([starts_ds, jnp.zeros((pad_N - N,), starts_ds.dtype)])
-            else:
-                starts_ds_p = starts_ds
-            wb = windows.reshape(n_batches, b, *windows.shape[1:])
+                zpad = lambda a: jnp.concatenate([a, jnp.zeros((pad_N - N,), a.dtype)])
+                starts, lengths, starts_ds = zpad(starts), zpad(lengths), zpad(starts_ds)
+            sb = starts.reshape(n_batches, b)
             lb = lengths.reshape(n_batches, b)
-            sb = starts_ds_p.reshape(n_batches, b)
+            db = starts_ds.reshape(n_batches, b)
 
             def step(acc, xs):
                 acc_probs, acc_counts = acc
-                w, l, s = xs
+                s, l, d = xs
+                w = jax.vmap(
+                    lambda st: jax.lax.dynamic_slice(spec_dev, (0, st), (F, W))
+                )(s).astype(jnp.float32)
                 out = self._forward(variables, w, l)
                 lp = out["final_posteriors"]  # [b, T_ds, V]
-                ds_len = out["length"]
+                ds_len = jnp.where(l > 0, out["length"], 0)
                 probs = jnp.exp(lp)
                 T_ds = lp.shape[1]
                 fidx = jnp.arange(T_ds)[None, :]
                 m = fidx < ds_len[:, None]
-                pos = jnp.where(m, s[:, None] + fidx, total_ds)
+                pos = jnp.where(m, d[:, None] + fidx, total_ds)
                 acc_probs = acc_probs.at[pos.reshape(-1)].add(
                     (probs * m[..., None]).reshape(-1, V), mode="drop"
                 )
@@ -233,22 +311,19 @@ class DynamicEvalEngine:
                 jnp.zeros((total_ds + 1, V), jnp.float32),
                 jnp.zeros((total_ds + 1,), jnp.float32),
             )
-            (acc_probs, acc_counts), _ = jax.lax.scan(step, acc0, (wb, lb, sb))
-            return acc_probs[:total_ds], acc_counts[:total_ds]
+            (acc_probs, acc_counts), _ = jax.lax.scan(step, acc0, (sb, lb, db))
+            log_avg = jnp.log(
+                jnp.maximum(
+                    acc_probs[:total_ds] / jnp.maximum(acc_counts[:total_ds, None], 1.0),
+                    1e-12,
+                )
+            )
+            return log_avg, acc_counts[:total_ds]
 
         return jax.jit(run)
 
-    # -- public API --------------------------------------------------------
-    def __call__(
-        self,
-        variables: Dict[str, Any],
-        spec: np.ndarray,  # [F, T] or [1, F, T]
-        seq_len: int = -1,
-        overlap: int = -1,
-        return_params: bool = False,
-        rng: Optional[jax.Array] = None,
-        shuffle_rng: Optional[np.random.Generator] = None,
-    ) -> EngineOutput:
+    # -- host-side plan ----------------------------------------------------
+    def _plan(self, spec: np.ndarray, seq_len: int, overlap: int):
         cfg = self.config
         seq_len = cfg.seq_len if seq_len == -1 else seq_len
         overlap = cfg.overlap if overlap == -1 else overlap
@@ -263,33 +338,67 @@ class DynamicEvalEngine:
                 f"overlap ({overlap}) must be a multiple of the subsampling "
                 f"factor ({self.ds})"  # reference asserts this, lcasr/lib.py:507
             )
-
-        windows_np, lengths_np, starts_np, n_real = chunk_spectrogram(spec, seq_len, overlap)
-        N, F, W = windows_np.shape
+        starts, lengths = chunk_starts_and_lengths(spec_n, seq_len, overlap)
+        n_real = len(starts)
+        W = seq_len
+        N = pad_num_chunks(n_real)
+        starts_np = np.zeros((N,), np.int32)
+        lengths_np = np.zeros((N,), np.int32)
+        starts_np[:n_real] = starts
+        lengths_np[:n_real] = lengths
+        # pad spec so every slice [start, start+W) is in range
+        T_pad = int(max(starts_np.max() + W, spec_n))
+        spec_padded = np.zeros((spec.shape[0], T_pad), dtype=spec.dtype)
+        spec_padded[:, :spec_n] = spec
         total_ds = _ds_ceil(spec_n, self.ds) + _ds_ceil(W, self.ds)
+        return spec_padded, spec_n, W, N, n_real, starts_np, lengths_np, total_ds
+
+    # -- public API --------------------------------------------------------
+    def __call__(
+        self,
+        variables: Dict[str, Any],
+        spec: np.ndarray,  # [F, T] or [1, F, T]
+        seq_len: int = -1,
+        overlap: int = -1,
+        return_params: bool = False,
+        rng: Optional[jax.Array] = None,
+        shuffle_rng: Optional[np.random.Generator] = None,
+        adapt_only: bool = False,
+    ) -> EngineOutput:
+        """``adapt_only=True`` skips the final stitched-inference pass and
+        returns only the adapted parameters (the concat drivers' adapt pass —
+        ``run_half_concat_eval.py:64-160`` avoids allocating stitched logits
+        the same way)."""
+        cfg = self.config
+        spec_padded, spec_n, W, N, n_real, starts_np, lengths_np, total_ds = self._plan(
+            spec, seq_len, overlap
+        )
 
         params = variables["params"]
         extra_vars = {k: v for k, v in variables.items() if k != "params"}
-        self.optimizer_wrapped = self._wrap_optimizer(params)
-
-        windows = jnp.asarray(windows_np)
-        lengths = jnp.asarray(lengths_np)
-        starts_ds = jnp.asarray(starts_np // self.ds)
+        if self.optimizer_wrapped is None:
+            self.optimizer_wrapped = self._wrap_optimizer(params)
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         shuffle_rng = shuffle_rng or np.random.default_rng(0)
 
         t0 = time.time()
+        # ONE host→device upload per recording
+        spec_dev = jnp.asarray(spec_padded, self.transfer_dtype)
+        starts = jnp.asarray(starts_np)
+        lengths = jnp.asarray(lengths_np)
+        starts_ds = jnp.asarray(starts_np // self.ds)
+
         adapted = params
         online_result = None
 
         if cfg.epochs > 0:
-            akey = (W, N)
+            akey = (W, N, total_ds, cfg.online)
             if akey not in self._adapt_cache:
-                self._adapt_cache[akey] = self._build_adapt(W, N, None)
+                self._adapt_cache[akey] = self._build_adapt(W, N, total_ds, cfg.online)
+                self._adapt_cache["opt_init"] = self._build_opt_init()
             adapt = self._adapt_cache[akey]
-            opt_state = self.optimizer_wrapped.init(params)
-            adapted = params
+            opt_state = self._adapt_cache["opt_init"](params)
             for epoch in range(cfg.epochs):
                 if cfg.shuffle:
                     order_real = shuffle_rng.permutation(n_real)
@@ -297,44 +406,48 @@ class DynamicEvalEngine:
                 else:
                     order = np.arange(N)
                 rng, ekey = jax.random.split(rng)
-                adapted, opt_state, clean_lps, ds_lens, losses = adapt(
-                    adapted, opt_state, extra_vars, windows, lengths,
-                    jnp.asarray(order), ekey,
-                )
                 if cfg.online:
-                    # stitch the adaptation pass's own clean outputs
+                    # stitching happens inside the adaptation scan itself
                     # (reference online mode, lcasr/lib.py:583-590)
-                    from dynamic_asr_eval_tpu.ops.stitch import stitch_chunk_probs
-
-                    inv = jnp.asarray(np.argsort(order))
-                    online_result = stitch_chunk_probs(
-                        jnp.exp(clean_lps)[inv], ds_lens[inv], starts_ds, total_ds
+                    adapted, opt_state, losses, log_avg, counts = adapt(
+                        adapted, opt_state, extra_vars, spec_dev,
+                        starts, lengths, starts_ds, jnp.asarray(order), ekey,
+                    )
+                    online_result = (log_avg, counts)
+                else:
+                    adapted, opt_state, losses = adapt(
+                        adapted, opt_state, extra_vars, spec_dev,
+                        starts, lengths, starts_ds, jnp.asarray(order), ekey,
                     )
 
+        if adapt_only:
+            jax.block_until_ready(adapted)
+            return EngineOutput(
+                logits=None, counts=None, params=adapted,
+                elapsed=time.time() - t0, blank_id=self.blank_id,
+            )
+
         if cfg.online and online_result is not None:
-            log_avg, acc_counts = online_result
+            log_avg, counts = online_result
         else:
             ikey = (W, N, total_ds)
             if ikey not in self._infer_cache:
                 self._infer_cache[ikey] = self._build_infer(W, N, total_ds)
-            infer = self._infer_cache[ikey]
-            acc_probs, acc_counts = infer(
-                {"params": adapted, **extra_vars}, windows, lengths, starts_ds
-            )
-            log_avg = jnp.log(
-                jnp.maximum(acc_probs / jnp.maximum(acc_counts[:, None], 1.0), 1e-12)
+            log_avg, counts = self._infer_cache[ikey](
+                {"params": adapted, **extra_vars}, spec_dev, starts, lengths, starts_ds
             )
 
-        counts = np.asarray(acc_counts)
-        stitched = np.asarray(log_avg)[counts > 0]
+        log_avg.block_until_ready()
         elapsed = time.time() - t0
         if cfg.print_runtimes:
             print(f"Spectrogram length: {spec_n}")
             print(f"Runtime: {elapsed}")
         return EngineOutput(
-            logits=stitched.astype(np.float32),
+            logits=log_avg,
+            counts=counts,
             params=adapted if return_params else None,
             elapsed=elapsed,
+            blank_id=self.blank_id,
         )
 
 
@@ -348,10 +461,11 @@ def chunked_inference(
     subsampling_factor: int,
     infer_batch: int = 4,
 ) -> np.ndarray:
-    """Pure windowed inference (the reference's epochs=0 trick turns
-    ``dynamic_eval`` into this path; ``run_in_dataset_eval.py:96-99``)."""
+    """Pure windowed inference returning the trimmed host logit matrix (the
+    reference's epochs=0 trick turns ``dynamic_eval`` into this path;
+    ``run_in_dataset_eval.py:96-99``)."""
     cfg = TTAConfig(seq_len=seq_len, overlap=overlap, epochs=0, shuffle=False)
     engine = DynamicEvalEngine(
         model, blank_id, subsampling_factor, cfg, infer_batch=infer_batch
     )
-    return engine(variables, spec, seq_len, overlap).logits
+    return engine(variables, spec, seq_len, overlap).numpy_logits()

@@ -66,17 +66,19 @@ class TestInferencePath:
             probs, jnp.asarray(ds_lens), jnp.asarray(starts // 4), total_ds
         )
         manual = trim_stitched(log_avg, counts)
-        assert out.logits.shape == manual.shape
-        np.testing.assert_allclose(out.logits, manual, rtol=1e-4, atol=1e-5)
+        logits = out.numpy_logits()
+        assert logits.shape == manual.shape
+        np.testing.assert_allclose(logits, manual, rtol=1e-4, atol=1e-5)
 
     def test_short_spec_single_window(self, model_and_vars):
         model, variables = model_and_vars
         spec = make_spec(40)  # shorter than seq_len
         engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=0))
         out = engine(variables, spec)
-        assert out.logits.shape == (10, CFG.n_classes)
+        logits = out.numpy_logits()
+        assert logits.shape == (10, CFG.n_classes)
         direct = model.apply(variables, jnp.asarray(spec[None]))["final_posteriors"][0]
-        np.testing.assert_allclose(out.logits, np.asarray(direct), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(logits, np.asarray(direct), rtol=1e-4, atol=1e-5)
 
 
 class TestAdaptation:
@@ -85,14 +87,14 @@ class TestAdaptation:
         spec = make_spec(200)
         engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=1))
         out = engine(variables, spec, return_params=True)
-        assert np.isfinite(out.logits).all()
+        assert np.isfinite(out.numpy_logits()).all()
         # params adapted
         diffs = jax.tree.map(
             lambda a, b: float(jnp.abs(a - b).max()), variables["params"], out.params
         )
         assert max(jax.tree.leaves(diffs)) > 0
         # originals untouched (restore-invariance is structural in JAX)
-        assert out.logits.shape[1] == CFG.n_classes
+        assert out.numpy_logits().shape[1] == CFG.n_classes
 
     def test_determinism(self, model_and_vars):
         model, variables = model_and_vars
@@ -100,7 +102,7 @@ class TestAdaptation:
         engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=1))
         o1 = engine(variables, spec, rng=jax.random.PRNGKey(7), shuffle_rng=np.random.default_rng(1))
         o2 = engine(variables, spec, rng=jax.random.PRNGKey(7), shuffle_rng=np.random.default_rng(1))
-        np.testing.assert_array_equal(o1.logits, o2.logits)
+        np.testing.assert_array_equal(o1.numpy_logits(), o2.numpy_logits())
 
     def test_online_mode(self, model_and_vars):
         model, variables = model_and_vars
@@ -109,21 +111,21 @@ class TestAdaptation:
             model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(online=True, shuffle=False)
         )
         out = engine(variables, spec)
-        assert np.isfinite(out.logits).all()
+        assert np.isfinite(out.numpy_logits()).all()
 
     def test_shuffle_mode(self, model_and_vars):
         model, variables = model_and_vars
         spec = make_spec(300)
         engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(shuffle=True))
         out = engine(variables, spec)
-        assert np.isfinite(out.logits).all()
+        assert np.isfinite(out.numpy_logits()).all()
 
     def test_epochs2(self, model_and_vars):
         model, variables = model_and_vars
         spec = make_spec(150)
         engine = DynamicEvalEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=2))
         out = engine(variables, spec)
-        assert np.isfinite(out.logits).all()
+        assert np.isfinite(out.numpy_logits()).all()
 
     def test_bitfit_only_touches_biases(self, model_and_vars):
         model, variables = model_and_vars
@@ -150,7 +152,7 @@ class TestAWMC:
         cfg = tta_cfg(epochs=1, ema_decay=0.99)
         engine = AWMCEngine(model, CFG.blank_id, CFG.subsampling_factor, cfg)
         out = engine(variables, spec, return_params=True)
-        assert np.isfinite(out.logits).all()
+        assert np.isfinite(out.numpy_logits()).all()
         diffs = jax.tree.map(
             lambda a, b: float(jnp.abs(a - b).max()), variables["params"], out.params
         )
@@ -161,4 +163,4 @@ class TestAWMC:
         spec = make_spec(40)
         engine = AWMCEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg())
         out = engine(variables, spec)
-        assert out.logits.shape == (10, CFG.n_classes)
+        assert out.numpy_logits().shape == (10, CFG.n_classes)
