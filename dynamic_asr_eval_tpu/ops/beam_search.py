@@ -1,0 +1,504 @@
+"""CTC beam search with LM shallow fusion.
+
+Capability parity with the reference's ``lcasr/ctc_beam_search.py`` (semantics
+mapped from ``BeamSearch.step``, ``:212-319``):
+
+- beams are keyed by the collapsed token sequence plus a trailing-blank
+  marker (``am_sequence``; blank appended only when last ≠ blank, and a
+  trailing blank is *replaced* by a following non-blank token, ``:255-260``);
+- extension classes per frame: blank (``score += am[blank] + blank_penalty``),
+  repeat of the last token when not after blank (``+ repetition_penalty``),
+  or a new token with fused LM score ``am + α·lm + β`` (``:230-268``);
+- only tokens with ``am > max + top_am_threshold`` are considered (``:225``);
+  token id 0 is by default never proposed (reference loop starts at 1,
+  ``:244`` — SPM id 0 is special there; pass ``exclude_token_zero=False``
+  for tokenizers where 0 is a real symbol);
+- equal-key beams merge by log-sum-exp (``:161-169``), then top-``beam_width``
+  pruning and score-gap pruning (``prune_less_than_val``, ``:205-210``);
+- the LM advances only for beams that emitted a new token (``:284-312``).
+
+Two implementations with identical semantics:
+
+- :class:`BeamSearchHost` — a clear numpy implementation (reference for
+  tests, and the practical path for CPU decoding);
+- :func:`beam_search_device` — the TPU-native version: fixed beam width,
+  prefixes as rolling 64-bit hashes (uint32 pairs), merge via lexsort +
+  segment-logsumexp, the whole time loop a jitted ``lax.scan``; the LM
+  advances all beams each frame with masked state updates (static shapes).
+
+LM interface (both versions): an adapter with
+``init_state(batch) -> (state, lps [batch, V])``,
+``advance(state, tokens [batch], mask [batch]) -> (state, lps)``, and
+``gather(state, idx)`` for beam reindexing.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# LM adapters
+# ---------------------------------------------------------------------------
+
+
+class UniformLMAdapter:
+    """No-LM fusion: every next-token log-prob is 0 (α scales it away)."""
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def init_state(self, batch: int):
+        return jnp.zeros((batch, 0), jnp.int32), jnp.zeros((batch, self.vocab_size), jnp.float32)
+
+    def advance(self, state, tokens, mask):
+        return state, jnp.zeros((tokens.shape[0], self.vocab_size), jnp.float32)
+
+    def gather(self, state, idx):
+        return state[idx]
+
+
+class NGramAdapter:
+    """Backoff n-gram fusion over :class:`dynamic_asr_eval_tpu.lm.ngram.NGramLM`.
+
+    State = last (order-1) token ids per beam (left-shifted buffer) + count."""
+
+    def __init__(self, ngram, bos_id: Optional[int] = None):
+        self.lm = ngram
+        self.ctx = max(ngram.order - 1, 1)
+        self.bos_id = bos_id
+
+    def init_state(self, batch: int):
+        toks = jnp.full((batch, self.ctx), -1, jnp.int32)
+        lens = jnp.zeros((batch,), jnp.int32)
+        if self.bos_id is not None:
+            toks = toks.at[:, -1].set(self.bos_id)
+            lens = lens + 1
+        state = (toks, lens)
+        lps = self.lm.score_next(toks, lens)
+        return state, lps
+
+    def advance(self, state, tokens, mask):
+        toks, lens = state
+        new_toks = jnp.concatenate([toks[:, 1:], tokens[:, None].astype(jnp.int32)], axis=1)
+        new_lens = jnp.minimum(lens + 1, self.ctx)
+        toks = jnp.where(mask[:, None], new_toks, toks)
+        lens = jnp.where(mask, new_lens, lens)
+        lps = self.lm.score_next(toks, lens)
+        return (toks, lens), lps
+
+    def gather(self, state, idx):
+        toks, lens = state
+        return toks[idx], lens[idx]
+
+
+class TransformerLMAdapter:
+    """Neural-LM fusion over :class:`lm.transformer_lm.TransformerLM` with the
+    fixed-size ring-buffer KV cache."""
+
+    def __init__(self, model, variables, config, bos_id: int = 0):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.bos_id = bos_id
+
+    def init_state(self, batch: int):
+        from dynamic_asr_eval_tpu.lm.transformer_lm import empty_cache
+
+        cache = empty_cache(self.config, batch)
+        toks = jnp.full((batch,), self.bos_id, jnp.int32)
+        lps, cache = self.model.apply(self.variables, toks, cache)
+        return cache, lps
+
+    def advance(self, state, tokens, mask):
+        lps, new_cache = self.model.apply(self.variables, tokens.astype(jnp.int32), state)
+        sel = lambda new, old: jnp.where(
+            mask.reshape((1,) * 0 + (-1,) + (1,) * (new.ndim - 1)) if new.ndim > 1 else mask,
+            new, old,
+        )
+        cache = {
+            "k": jnp.where(mask[None, :, None, None, None], new_cache["k"], state["k"]),
+            "v": jnp.where(mask[None, :, None, None, None], new_cache["v"], state["v"]),
+            "lengths": jnp.where(mask, new_cache["lengths"], state["lengths"]),
+        }
+        return cache, lps
+
+    def gather(self, state, idx):
+        return {
+            "k": state["k"][:, idx],
+            "v": state["v"][:, idx],
+            "lengths": state["lengths"][idx],
+        }
+
+
+# ---------------------------------------------------------------------------
+# Host reference implementation
+# ---------------------------------------------------------------------------
+
+
+class _HostBeam(NamedTuple):
+    prefix: tuple  # collapsed token sequence
+    ends_blank: bool
+    score: float
+    lm_state: object  # adapter state of batch 1
+    lm_lps: np.ndarray  # [V]
+
+
+def _logaddexp(a, b):
+    if a == -math.inf:
+        return b
+    if b == -math.inf:
+        return a
+    m = max(a, b)
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+class BeamSearchHost:
+    """Reference-semantics beam search on host (clear numpy loop; per-beam
+    batch-1 LM states — clarity over speed, used for tests and CPU decode)."""
+
+    def __init__(
+        self,
+        log_probs: np.ndarray,  # [T, V+1]
+        lm_adapter,
+        beam_width: int = 25,
+        alpha: float = 0.45,
+        beta: float = 1.53,
+        blank_id: Optional[int] = None,
+        blank_penalty: float = 0.0,
+        repetition_penalty: float = 0.0,
+        top_am_threshold: float = -6.0,
+        prune_less_than_val: Optional[float] = 3.17,
+        exclude_token_zero: bool = True,
+    ):
+        self.log_probs = np.asarray(log_probs)
+        self.V = self.log_probs.shape[1] - 1
+        self.blank_id = self.V if blank_id is None else blank_id
+        self.lm = lm_adapter
+        self.beam_width = beam_width
+        self.alpha, self.beta = alpha, beta
+        self.blank_penalty = blank_penalty
+        self.repetition_penalty = repetition_penalty
+        self.top_am_threshold = top_am_threshold
+        self.prune_less_than_val = prune_less_than_val
+        self.exclude_token_zero = exclude_token_zero
+        self.beams: List[_HostBeam] = []
+
+    def run_search(self, use_tqdm: bool = False) -> List[Tuple[tuple, float]]:
+        T = self.log_probs.shape[0]
+        state, lps = self.lm.init_state(1)
+        self.beams = [
+            _HostBeam(prefix=(), ends_blank=False, score=0.0,
+                      lm_state=state, lm_lps=np.asarray(lps)[0])
+        ]
+
+        for t in range(T):
+            am = self.log_probs[t]
+            thresh = am.max() + self.top_am_threshold
+            lo = 1 if self.exclude_token_zero else 0
+            top = [v for v in range(lo, self.V + 1) if am[v] > thresh]
+
+            # key -> [score, parent_beam, is_new, token]
+            cand = {}
+            for beam in self.beams:
+                for v in top:
+                    if v == self.blank_id:
+                        key = (beam.prefix, True)
+                        s = beam.score + am[v] + self.blank_penalty
+                        entry = (beam, False, -1)
+                    elif beam.prefix and beam.prefix[-1] == v and not beam.ends_blank:
+                        key = (beam.prefix, False)
+                        s = beam.score + am[v] + self.repetition_penalty
+                        entry = (beam, False, -1)
+                    else:
+                        key = (beam.prefix + (v,), False)
+                        s = beam.score + am[v] + self.alpha * beam.lm_lps[v] + self.beta
+                        entry = (beam, True, v)
+                    if key in cand:
+                        cand[key][0] = _logaddexp(cand[key][0], s)
+                    else:
+                        cand[key] = [s, *entry]
+
+            if not cand:
+                # no token above threshold was proposable (e.g. only token 0
+                # dominated the frame) — skip the frame instead of dying (the
+                # reference would end with zero beams here)
+                continue
+
+            merged = sorted(cand.items(), key=lambda kv: -kv[1][0])[: self.beam_width]
+            if self.prune_less_than_val is not None and merged:
+                best = merged[0][1][0]
+                merged = [m for m in merged if m[1][0] >= best - self.prune_less_than_val]
+
+            advance_lm = t < T - 1
+            new_beams = []
+            for (prefix, ends_blank), (s, parent, is_new, tok) in merged:
+                if is_new and advance_lm:
+                    st, lp = self.lm.advance(
+                        parent.lm_state, jnp.asarray([tok]), jnp.ones((1,), bool)
+                    )
+                    new_beams.append(_HostBeam(prefix, ends_blank, s, st, np.asarray(lp)[0]))
+                else:
+                    new_beams.append(
+                        _HostBeam(prefix, ends_blank, s, parent.lm_state, parent.lm_lps)
+                    )
+            self.beams = new_beams
+
+        return [(b.prefix, b.score) for b in self.beams]
+
+    def return_text(self, idx: int, tokenizer) -> str:
+        if idx >= len(self.beams):
+            return ""
+        return tokenizer.decode(list(self.beams[idx].prefix))
+
+
+# ---------------------------------------------------------------------------
+# Device implementation
+# ---------------------------------------------------------------------------
+
+_MUL_HI = np.uint32(6364136223846793005 >> 32)
+_MUL_LO = np.uint32(6364136223846793005 & 0xFFFFFFFF)
+_INC_HI = np.uint32(1442695040888963407 >> 32)
+_INC_LO = np.uint32(1442695040888963407 & 0xFFFFFFFF)
+
+
+def _mul32_hi(x, y):
+    x0 = x & jnp.uint32(0xFFFF)
+    x1 = x >> jnp.uint32(16)
+    y0 = y & jnp.uint32(0xFFFF)
+    y1 = y >> jnp.uint32(16)
+    mid = x1 * y0 + ((x0 * y0) >> jnp.uint32(16))
+    mid2 = x0 * y1 + (mid & jnp.uint32(0xFFFF))
+    return x1 * y1 + (mid >> jnp.uint32(16)) + (mid2 >> jnp.uint32(16))
+
+
+def _roll_hash(h_hi, h_lo, token):
+    lo = h_lo * _MUL_LO
+    hi = h_hi * _MUL_LO + h_lo * _MUL_HI + _mul32_hi(h_lo, _MUL_LO)
+    t = (token + 1).astype(jnp.uint32)
+    new_lo = lo + t
+    carry = (new_lo < lo).astype(jnp.uint32)
+    return hi + carry, new_lo
+
+
+class DeviceBeamState(NamedTuple):
+    score: jnp.ndarray  # [B]
+    hash_hi: jnp.ndarray  # [B] prefix hash (without trailing blank)
+    hash_lo: jnp.ndarray
+    ends_blank: jnp.ndarray  # [B] bool
+    last_token: jnp.ndarray  # [B] int32 (-1 none)
+    tokens: jnp.ndarray  # [B, Lmax]
+    length: jnp.ndarray  # [B]
+    lm_lps: jnp.ndarray  # [B, V]
+    lm_state: object
+
+
+def beam_search_device(
+    log_probs: jnp.ndarray,  # [T, V+1]
+    lm_adapter,
+    beam_width: int = 25,
+    alpha: float = 0.45,
+    beta: float = 1.53,
+    blank_id: Optional[int] = None,
+    blank_penalty: float = 0.0,
+    repetition_penalty: float = 0.0,
+    top_am_threshold: float = -6.0,
+    prune_less_than_val: Optional[float] = 3.17,
+    top_k_tokens: int = 32,
+    max_tokens: Optional[int] = None,
+    valid_frames: Optional[jnp.ndarray] = None,
+    exclude_token_zero: bool = True,
+):
+    """Tensorized beam search; returns (tokens [B, Lmax], lengths [B],
+    scores [B]) sorted by score descending.  Jit-compiled end to end.
+
+    ``valid_frames`` (scalar) truncates the scan logically (frames beyond it
+    are skipped) so one compilation serves many stitched lengths.
+    """
+    T, Vp1 = log_probs.shape
+    V = Vp1 - 1
+    blank = V if blank_id is None else blank_id
+    B = beam_width
+    # the reference never proposes token id 0 (SPM special id); optional here
+    K = min(top_k_tokens, V - 1 if exclude_token_zero else V)
+    Lmax = max_tokens or T  # at most one emission per frame
+    NEG = -1e30
+    n_valid = jnp.asarray(T if valid_frames is None else valid_frames, jnp.int32)
+
+    # per-frame top-K non-blank candidates (blank, and optionally token 0, excluded)
+    masked = log_probs
+    if exclude_token_zero:
+        masked = masked.at[:, 0].set(NEG)
+    if blank < Vp1:
+        masked = masked.at[:, blank].set(NEG)
+    top_vals, top_idx = jax.lax.top_k(masked, K)  # [T, K]
+
+    lm_state0, lm_lps0 = lm_adapter.init_state(B)
+
+    state0 = DeviceBeamState(
+        score=jnp.full((B,), NEG).at[0].set(0.0),
+        hash_hi=jnp.full((B,), _INC_HI, jnp.uint32),
+        hash_lo=jnp.full((B,), _INC_LO, jnp.uint32),
+        ends_blank=jnp.zeros((B,), bool),
+        last_token=jnp.full((B,), -1, jnp.int32),
+        tokens=jnp.zeros((B, Lmax), jnp.int32),
+        length=jnp.zeros((B,), jnp.int32),
+        lm_lps=lm_lps0,
+        lm_state=lm_state0,
+    )
+
+    def step(state, xs):
+        t, am_row, vals, idxs = xs
+        live = t < n_valid
+
+        def do(state):
+            am_max = am_row.max()
+            thresh = am_max + top_am_threshold
+            tok_ok = vals > thresh  # [K]
+
+            # candidate classes: j in [0, K): token idxs[j]; j == K: blank
+            v = idxs  # [K]
+            is_repeat = (v[None, :] == state.last_token[:, None]) & (~state.ends_blank[:, None])
+            lm_sc = alpha * jnp.take_along_axis(
+                state.lm_lps, jnp.broadcast_to(v[None, :], (B, K)), axis=1
+            ) + beta
+            tok_score = state.score[:, None] + vals[None, :] + jnp.where(
+                is_repeat, repetition_penalty, lm_sc
+            )
+            tok_score = jnp.where(tok_ok[None, :], tok_score, NEG)
+            blank_ok = am_row[blank] > thresh
+            blank_score = state.score + am_row[blank] + blank_penalty
+            blank_score = jnp.where(blank_ok, blank_score, NEG)
+
+            # candidate keys
+            new_hi, new_lo = _roll_hash(
+                jnp.broadcast_to(state.hash_hi[:, None], (B, K)),
+                jnp.broadcast_to(state.hash_lo[:, None], (B, K)),
+                jnp.broadcast_to(v[None, :], (B, K)).astype(jnp.int32),
+            )
+            cand_hi = jnp.where(is_repeat, state.hash_hi[:, None], new_hi)
+            cand_lo = jnp.where(is_repeat, state.hash_lo[:, None], new_lo)
+            cand_blankflag = jnp.zeros((B, K), bool)
+
+            # append blank column
+            score_all = jnp.concatenate([tok_score, blank_score[:, None]], axis=1)  # [B, K+1]
+            hi_all = jnp.concatenate([cand_hi, state.hash_hi[:, None]], axis=1)
+            lo_all = jnp.concatenate([cand_lo, state.hash_lo[:, None]], axis=1)
+            bf_all = jnp.concatenate(
+                [cand_blankflag, jnp.ones((B, 1), bool)], axis=1
+            )
+            parent = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K + 1))
+            tok_all = jnp.concatenate(
+                [jnp.broadcast_to(v[None, :], (B, K)), jnp.full((B, 1), -1, jnp.int32)], axis=1
+            )
+            is_new_all = jnp.concatenate(
+                [~is_repeat, jnp.zeros((B, 1), bool)], axis=1
+            )
+
+            flat = lambda x: x.reshape(-1)
+            score_f, hi_f, lo_f = flat(score_all), flat(hi_all), flat(lo_all)
+            bf_f, par_f, tok_f, new_f = flat(bf_all), flat(parent), flat(tok_all), flat(is_new_all)
+            M = score_f.shape[0]
+
+            # merge equal (hi, lo, blankflag): lexsort then segment-logsumexp
+            key2 = hi_f
+            key1 = lo_f
+            key0 = bf_f.astype(jnp.uint32)
+            order = jnp.lexsort((jnp.where(score_f > NEG / 2, -score_f, -NEG), key0, key1, key2))
+            s_sorted = score_f[order]
+            h_hi_s, h_lo_s, bf_s = hi_f[order], lo_f[order], bf_f[order]
+            same_as_prev = (
+                (h_hi_s == jnp.roll(h_hi_s, 1))
+                & (h_lo_s == jnp.roll(h_lo_s, 1))
+                & (bf_s == jnp.roll(bf_s, 1))
+            )
+            same_as_prev = same_as_prev.at[0].set(False)
+            seg = jnp.cumsum(~same_as_prev) - 1  # [M]
+
+            seg_max = jnp.full((M,), NEG).at[seg].max(s_sorted)
+            contrib = jnp.where(s_sorted > NEG / 2, jnp.exp(s_sorted - seg_max[seg]), 0.0)
+            seg_sum = jnp.zeros((M,)).at[seg].add(contrib)
+            seg_score = jnp.where(seg_sum > 0, seg_max + jnp.log(jnp.maximum(seg_sum, 1e-37)), NEG)
+
+            # representative = first (highest-score) element of each segment
+            rep_mask = ~same_as_prev
+            rep_scores = jnp.where(rep_mask, seg_score[seg], NEG)
+            top_scores, top_pos = jax.lax.top_k(rep_scores, B)  # positions in sorted order
+            sel = order[top_pos]  # candidate indices
+
+            best = top_scores[0]
+            if prune_less_than_val is not None:
+                top_scores = jnp.where(
+                    top_scores >= best - prune_less_than_val, top_scores, NEG
+                )
+
+            sel_parent = par_f[sel]
+            sel_tok = tok_f[sel]
+            sel_new = new_f[sel] & (top_scores > NEG / 2)
+            sel_bf = bf_f[sel]
+
+            # gather parent state
+            tokens = state.tokens[sel_parent]
+            length = state.length[sel_parent]
+            # append new tokens
+            app_pos = jnp.clip(length, 0, Lmax - 1)
+            tokens = jnp.where(
+                sel_new[:, None]
+                & (jnp.arange(Lmax)[None, :] == app_pos[:, None]),
+                sel_tok[:, None],
+                tokens,
+            )
+            length = jnp.where(sel_new, jnp.minimum(length + 1, Lmax), length)
+
+            hash_hi = jnp.where(
+                sel_new, _roll_hash(state.hash_hi[sel_parent], state.hash_lo[sel_parent], sel_tok)[0],
+                state.hash_hi[sel_parent],
+            )
+            hash_lo = jnp.where(
+                sel_new, _roll_hash(state.hash_hi[sel_parent], state.hash_lo[sel_parent], sel_tok)[1],
+                state.hash_lo[sel_parent],
+            )
+            last_token = jnp.where(sel_new, sel_tok, state.last_token[sel_parent])
+            ends_blank = sel_bf
+
+            # LM advance for new-token beams
+            lm_state = lm_adapter.gather(state.lm_state, sel_parent)
+            lm_lps_parent = state.lm_lps[sel_parent]
+            lm_state, lm_lps_new = lm_adapter.advance(
+                lm_state, jnp.maximum(sel_tok, 0), sel_new
+            )
+            lm_lps = jnp.where(sel_new[:, None], lm_lps_new, lm_lps_parent)
+
+            return DeviceBeamState(
+                score=top_scores,
+                hash_hi=hash_hi,
+                hash_lo=hash_lo,
+                ends_blank=ends_blank,
+                last_token=last_token,
+                tokens=tokens,
+                length=length,
+                lm_lps=lm_lps,
+                lm_state=lm_state,
+            )
+
+        new_state = jax.lax.cond(live, do, lambda s: s, state)
+        # skip-frame safeguard: if every candidate was below threshold the
+        # whole beam set would die — keep the previous state instead
+        dead = new_state.score[0] < NEG / 2
+        new_state = jax.tree.map(
+            lambda new, old: jnp.where(
+                jnp.reshape(dead, (1,) * new.ndim), old, new
+            ) if hasattr(new, "ndim") else new,
+            new_state, state,
+        )
+        return new_state, None
+
+    xs = (jnp.arange(T), log_probs, top_vals, top_idx)
+    final, _ = jax.lax.scan(step, state0, xs)
+    order = jnp.argsort(-final.score)
+    return final.tokens[order], final.length[order], final.score[order]
