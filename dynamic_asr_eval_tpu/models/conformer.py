@@ -405,7 +405,13 @@ class SCConformer(nn.Module):
                 h = jnp.where(mask[..., None], h, 0)
 
         final = ctc_logits(h)
-        out = {"final_posteriors": final, "length": ds_length}
+        out = {
+            "final_posteriors": final,
+            "length": ds_length,
+            # encoder hidden states for attention-decoder models (the
+            # reference model's 'a_hidden', consumed at lcasr/lib.py:1186)
+            "a_hidden": h,
+        }
         if return_interim and interim:
             out["interim_posteriors"] = jnp.stack(interim)
         return out

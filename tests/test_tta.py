@@ -164,3 +164,35 @@ class TestAWMC:
         engine = AWMCEngine(model, CFG.blank_id, CFG.subsampling_factor, tta_cfg())
         out = engine(variables, spec)
         assert out.numpy_logits().shape == (10, CFG.n_classes)
+
+
+class TestConsistency:
+    def test_consistency_runs_and_adapts(self, model_and_vars):
+        from dynamic_asr_eval_tpu.tta import ConsistencyEngine
+
+        model, variables = model_and_vars
+        spec = make_spec(200)
+        engine = ConsistencyEngine(
+            model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=1)
+        )
+        out = engine(variables, spec, return_params=True)
+        assert np.isfinite(out.numpy_logits()).all()
+        # per-chunk stacked params: leading chunk axis, chunks diverge from init
+        leaf = jax.tree.leaves(out.params)[0]
+        n_chunks = leaf.shape[0]
+        assert n_chunks >= 4
+        p0 = jax.tree.map(lambda s: s[0], out.params)
+        delta = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), variables["params"], p0)))
+        assert delta > 0
+
+    def test_consistency_online(self, model_and_vars):
+        from dynamic_asr_eval_tpu.tta import ConsistencyEngine
+
+        model, variables = model_and_vars
+        spec = make_spec(150)
+        engine = ConsistencyEngine(
+            model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=1, online=True)
+        )
+        out = engine(variables, spec)
+        assert np.isfinite(out.numpy_logits()).all()
