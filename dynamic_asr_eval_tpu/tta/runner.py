@@ -119,6 +119,7 @@ class DynamicEvalEngine:
         max_label_frames_ratio: float = 0.25,
         infer_batch: int = 4,
         transfer_dtype=jnp.float32,
+        augment_fn=None,
     ):
         self.model = model
         self.blank_id = blank_id
@@ -128,6 +129,10 @@ class DynamicEvalEngine:
         self.max_label_frames_ratio = max_label_frames_ratio
         self.infer_batch = infer_batch
         self.transfer_dtype = transfer_dtype
+        # optional override of the spectrogram augmentation pipeline —
+        # waveform-domain backends (wav2vec2) pass augment.waveform's chain;
+        # signature: (batch [B, F, W], key, actual_len) -> [B, F, W]
+        self.augment_fn = augment_fn
         if optimizer is None:
             opt_args = dict(config.optim_args)
             lr = opt_args.pop("lr", 9e-5)
@@ -172,12 +177,15 @@ class DynamicEvalEngine:
 
         def do_step(params, opt_state):
             aug = jnp.repeat(window[None], nn, axis=0)
-            aug = apply_augmentation_pipeline(
-                aug, k_aug,
-                self.config.spec_augment, self.config.frame_shuffle,
-                self.config.cutout, self.config.random_noise,
-                actual_len=w_len,
-            )
+            if self.augment_fn is not None:
+                aug = self.augment_fn(aug, k_aug, w_len)
+            else:
+                aug = apply_augmentation_pipeline(
+                    aug, k_aug,
+                    self.config.spec_augment, self.config.frame_shuffle,
+                    self.config.cutout, self.config.random_noise,
+                    actual_len=w_len,
+                )
             batch = jnp.concatenate([aug, window[None]], axis=0)  # [nn+1, F, W]
             lengths = jnp.full((nn + 1,), w_len, jnp.int32)
 
