@@ -39,7 +39,9 @@ def madgrad(
     weight_decay: float = 0.0,
     eps: float = 1e-6,
 ) -> optax.GradientTransformation:
-    if not isinstance(learning_rate, (int, float)):
+    if isinstance(learning_rate, str) or not (
+        isinstance(learning_rate, (int, float)) or hasattr(learning_rate, "dtype")
+    ):
         raise TypeError(f"learning_rate must be numeric, got {learning_rate!r}")
     if not 0.0 <= momentum < 1.0:
         raise ValueError(f"momentum must be in [0, 1), got {momentum}")

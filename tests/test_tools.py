@@ -1,0 +1,148 @@
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_asr_eval_tpu.text import CharTokenizer
+
+
+class TestLexicon:
+    def _emissions(self, text, tok):
+        V = tok.vocab_size()
+        blank = tok.blank_id
+        ids = tok.encode(text)
+        frames = []
+        for i in ids:
+            frames += [i, blank]
+        lp = np.full((len(frames), V + 1), -5.0, np.float32)
+        for t, k in enumerate(frames):
+            lp[t, k] = 0.0
+        return lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+
+    def test_constrained_decode_picks_lexicon_word(self):
+        from dynamic_asr_eval_tpu.ops.lexicon import word_beam_search
+
+        tok = CharTokenizer()
+        # emissions spell "catt" (an OOV); lexicon only has cat / cart
+        lp = self._emissions("catt", tok)
+        out = word_beam_search(lp, ["cat", "cart"], tok, beam_width=8)
+        assert out == "cat"
+
+    def test_unconstrained_would_emit_oov(self):
+        from dynamic_asr_eval_tpu.ops.beam_search import (
+            UniformLMAdapter, beam_search_device,
+        )
+
+        tok = CharTokenizer()
+        lp = self._emissions("catt", tok)
+        toks, lens, _ = beam_search_device(
+            jnp.asarray(lp), UniformLMAdapter(tok.vocab_size()), beam_width=8,
+            alpha=0.0, beta=0.0, exclude_token_zero=False,
+        )
+        assert tok.decode([int(x) for x in np.asarray(toks[0])[: int(lens[0])]]) == "catt"
+
+    def test_multiword_constrained(self):
+        from dynamic_asr_eval_tpu.ops.lexicon import word_beam_search
+
+        tok = CharTokenizer()
+        lp = self._emissions("the cat", tok)
+        out = word_beam_search(lp, ["the", "cat", "dog"], tok, beam_width=8)
+        assert out == "the cat"
+
+    def test_alpha_zero_rejected(self):
+        from dynamic_asr_eval_tpu.ops.lexicon import word_beam_search
+
+        tok = CharTokenizer()
+        lp = self._emissions("cat", tok)
+        with pytest.raises(ValueError, match="alpha > 0"):
+            word_beam_search(lp, ["cat"], tok, alpha=0.0)
+
+
+class TestTLMTools:
+    def test_create_logits_and_rescore(self, tmp_path):
+        from dynamic_asr_eval_tpu.config import TTAConfig
+        from dynamic_asr_eval_tpu.evals.tlm_tools import create_logits, tlm_beam_rescore
+        from dynamic_asr_eval_tpu.models import ConformerConfig, init_conformer
+        from dynamic_asr_eval_tpu.ops.beam_search import UniformLMAdapter
+        from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
+
+        cfg = ConformerConfig(
+            feat_in=16, n_layers=1, d_model=32, n_heads=2, head_dim=16,
+            vocab_size=28, subsampling_factor=4, subsampling_conv_channels=8,
+            conv_kernel_size=5, compute_dtype=jnp.float32,
+        )
+        model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=64)
+        engine = DynamicEvalEngine(
+            model, cfg.blank_id, cfg.subsampling_factor,
+            TTAConfig(seq_len=64, overlap=32, epochs=0, shuffle=False),
+        )
+        records = [
+            {"id": f"r{i}", "text": "x",
+             "process_fn": lambda rec, i=i: (
+                 np.random.default_rng(i).standard_normal((16, 100)).astype(np.float32),
+                 "hello world",
+             )}
+            for i in range(2)
+        ]
+        paths = create_logits(engine, variables, records, str(tmp_path), 64, 32)
+        assert len(paths) == 2
+        with open(paths[0], "rb") as f:
+            d = pickle.load(f)
+        assert d["logits"].shape[1] == 29 and d["gold"] == "hello world"
+
+        tok = CharTokenizer()
+        wer, detail = tlm_beam_rescore(
+            paths, lambda: UniformLMAdapter(tok.vocab_size()), tok,
+            beam_width=4, alpha=0.0, beta=0.0, num_workers=2,
+        )
+        assert np.isfinite(wer)
+        assert len(detail) == 2
+
+    def test_lm_prefill_ring_buffer(self):
+        from dynamic_asr_eval_tpu.evals.tlm_tools import lm_init_state_from_text
+        from dynamic_asr_eval_tpu.lm.transformer_lm import TransformerLMConfig, init_lm
+
+        cfg = TransformerLMConfig(vocab_size=30, n_layers=1, d_model=32,
+                                  n_heads=2, max_cache_length=8)
+        model, variables = init_lm(cfg, jax.random.PRNGKey(0))
+        tok = CharTokenizer()
+        cache, lps = lm_init_state_from_text(model, variables, cfg, tok, "hello there friend")
+        # cache length == number of consumed tokens; ring keeps last 8
+        assert int(cache["lengths"][0]) == len(tok.encode("hello there friend")) + 1
+        assert lps.shape == (1, 30)
+
+
+class TestAnalysis:
+    def test_aggregate_and_latex(self, tmp_path):
+        from dynamic_asr_eval_tpu import analysis
+
+        for i in range(2):
+            with open(tmp_path / f"run_{i}.pkl", "wb") as f:
+                pickle.dump({"wer": 0.1 * (i + 1), "words": 100, "ins_rate": 0.01,
+                             "del_rate": 0.02, "sub_rate": 0.03}, f)
+        agg = analysis.aggregate_per_recording(str(tmp_path / "*.pkl"))
+        assert agg["n_runs"] == 2
+        assert agg["wer"] == pytest.approx(0.15)
+
+        tex = analysis.to_latex_table(
+            [{"name": "a", "wer": 0.1}], ["name", "wer"], caption="test"
+        )
+        assert r"\begin{tabular}" in tex and "0.1000" in tex
+
+    def test_plot(self, tmp_path):
+        from dynamic_asr_eval_tpu import analysis
+
+        p = analysis.plot_wer_bars(["a", "b"], [0.1, 0.2], str(tmp_path / "x.png"),
+                                   baseline=0.15)
+        assert os.path.exists(p)
+
+    def test_gap_audit(self):
+        from dynamic_asr_eval_tpu.analysis import audit_transcript_gaps
+
+        recs = [{"id": "r", "timings": [(0, 5), (30, 40)]}]
+        gaps = audit_transcript_gaps(recs, min_gap_seconds=10)
+        assert len(gaps) == 1 and gaps[0]["gap_seconds"] == 25
