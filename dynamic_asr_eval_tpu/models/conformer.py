@@ -299,11 +299,24 @@ class ConvModule(nn.Module):
         a, b = jnp.split(h, 2, axis=-1)
         h = a * jax.nn.sigmoid(b)  # GLU
         h = jnp.where(mask[..., None], h, 0)  # keep padding silent under conv
-        h = nn.Conv(
-            cfg.d_model, (cfg.conv_kernel_size,), padding="SAME",
-            feature_group_count=cfg.d_model, dtype=cfg.compute_dtype,
-            param_dtype=jnp.float32, name="dw",
-        )(h)
+        # depthwise conv as K shifted multiply-adds: TPU lowers grouped convs
+        # channel-by-channel, which is slow; K static shifts are pure VPU work
+        # (param shape matches nn.Conv's [K, 1, C] so checkpoints interchange)
+        K = cfg.conv_kernel_size
+        dw_kernel = self.param(
+            "dw_kernel",
+            nn.initializers.lecun_normal(),
+            (K, 1, cfg.d_model),
+        )
+        dw_bias = self.param("dw_bias", nn.initializers.zeros, (cfg.d_model,))
+        pad_l = (K - 1) // 2
+        pad_r = K - 1 - pad_l
+        hp = jnp.pad(h, ((0, 0), (pad_l, pad_r), (0, 0)))
+        T = h.shape[1]
+        out = jnp.zeros_like(h)
+        for j in range(K):
+            out = out + hp[:, j : j + T, :] * dw_kernel[j, 0].astype(h.dtype)
+        h = out + dw_bias.astype(h.dtype)
         h = Norm(cfg.d_model, cfg.default_norm, name="norm")(
             h, mask, use_running_average
         )

@@ -47,7 +47,9 @@ def _ctc_alpha_scan(
         return new, None
 
     ts = jnp.arange(1, T)
-    alpha, _ = jax.lax.scan(step, alpha0, (ts, log_probs[1:]))
+    # unroll: the per-step work is a tiny vector op; unrolling amortizes the
+    # sequential-loop overhead on TPU (~8x fewer loop iterations)
+    alpha, _ = jax.lax.scan(step, alpha0, (ts, log_probs[1:]), unroll=8)
     return alpha
 
 

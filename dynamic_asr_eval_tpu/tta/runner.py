@@ -186,6 +186,21 @@ class DynamicEvalEngine:
                     self.config.cutout, self.config.random_noise,
                     actual_len=w_len,
                 )
+            if self.config.entropy_augmentation:
+                # entropy-gradient perturbation (lcasr/lib.py:86-99): add
+                # 1e-3 · ∂H(model(x))/∂x to the augmented copies
+                def mean_entropy(a):
+                    out = self._forward(
+                        {"params": params, **extra_vars}, a,
+                        jnp.full((nn,), w_len, jnp.int32),
+                    )
+                    lp = out["final_posteriors"]
+                    return jnp.mean(-jnp.sum(jnp.exp(lp) * lp, axis=-1))
+
+                aug = jax.lax.stop_gradient(
+                    aug + 1e-3 * jax.grad(mean_entropy)(aug)
+                )
+
             batch = jnp.concatenate([aug, window[None]], axis=0)  # [nn+1, F, W]
             lengths = jnp.full((nn + 1,), w_len, jnp.int32)
 

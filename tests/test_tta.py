@@ -196,3 +196,15 @@ class TestConsistency:
         )
         out = engine(variables, spec)
         assert np.isfinite(out.numpy_logits()).all()
+
+
+class TestEntropyAugmentation:
+    def test_entropy_augmentation_runs(self, model_and_vars):
+        model, variables = model_and_vars
+        spec = make_spec(150)
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor,
+            tta_cfg(entropy_augmentation=True),
+        )
+        out = engine(variables, spec)
+        assert np.isfinite(out.numpy_logits()).all()
