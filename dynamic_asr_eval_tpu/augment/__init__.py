@@ -2,6 +2,7 @@ from dynamic_asr_eval_tpu.augment.spec_augment import (
     spec_augment,
     cutout,
     frame_shuffle,
+    replace_with_frame,
     add_random_noise,
     apply_augmentation_pipeline,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "spec_augment",
     "cutout",
     "frame_shuffle",
+    "replace_with_frame",
     "add_random_noise",
     "apply_augmentation_pipeline",
 ]

@@ -76,6 +76,17 @@ def spec_augment(
     return out
 
 
+def replace_with_frame(spec: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Replace every frame with one randomly chosen frame
+    (``replace_with_frame``, ``lcasr/lib.py:74-79``)."""
+    if spec.ndim == 3:
+        keys = jax.random.split(key, spec.shape[0])
+        return jax.vmap(replace_with_frame)(spec, keys)
+    T = spec.shape[-1]
+    idx = jax.random.randint(key, (), 0, T)
+    return jnp.broadcast_to(spec[:, idx][:, None], spec.shape)
+
+
 def frame_shuffle(
     spec: jnp.ndarray, key: jax.Array, config: FrameShuffleConfig
 ) -> jnp.ndarray:

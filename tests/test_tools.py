@@ -146,3 +146,39 @@ class TestAnalysis:
         recs = [{"id": "r", "timings": [(0, 5), (30, 40)]}]
         gaps = audit_transcript_gaps(recs, min_gap_seconds=10)
         assert len(gaps) == 1 and gaps[0]["gap_seconds"] == 25
+
+
+class TestPyctcCompat:
+    def test_build_and_decode(self):
+        import numpy as np
+        from dynamic_asr_eval_tpu.ops.pyctc_compat import CTCDecoder, decode_beams_lm
+        from dynamic_asr_eval_tpu.text import CharTokenizer
+
+        tok = CharTokenizer()
+        V, blank = tok.vocab_size(), tok.blank_id
+        ids = tok.encode("hi there")
+        frames = []
+        for i in ids:
+            frames += [i, blank]
+        lp = np.full((len(frames), V + 1), -8.0, np.float32)
+        for t, k in enumerate(frames):
+            lp[t, k] = 0.0
+        lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
+        dec = CTCDecoder(tok, exclude_token_zero=False)
+        assert dec.decode(lp, beam_width=1) == "hi there"
+        texts, offsets = decode_beams_lm([lp], dec, beam_width=4, ds_factor=4)
+        assert texts[0] == "hi there"
+        assert offsets[0][0][0] == "hi"
+
+
+class TestReplaceWithFrame:
+    def test_all_frames_identical(self):
+        import numpy as np
+        import jax, jax.numpy as jnp
+        from dynamic_asr_eval_tpu.augment import replace_with_frame
+
+        s = jnp.asarray(np.random.default_rng(0).standard_normal((8, 20)), jnp.float32)
+        out = np.asarray(replace_with_frame(s, jax.random.PRNGKey(0)))
+        assert (out == out[:, :1]).all()
+        # the chosen column exists in the source
+        assert any(np.allclose(out[:, 0], np.asarray(s)[:, j]) for j in range(20))
