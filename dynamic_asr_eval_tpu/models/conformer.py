@@ -183,10 +183,53 @@ class Norm(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _taps_3x3_s2(h: jnp.ndarray):
+    """[B, T, F, C] → list of 9 tensors [B, ⌈T/2⌉, ⌈F/2⌉, C], one per 3×3
+    SAME stride-2 conv tap, in (dt, df) row-major order.
+
+    Phase-reshape decomposition: strided slices have scatter gradients on
+    TPU (measured: catastrophic in the backward); reshaping into even/odd
+    phases and shifting the *downsampled* tensors keeps every gradient a
+    pad/slice."""
+    B, T, F, C = h.shape
+    To, Fo = -(-T // 2), -(-F // 2)
+    hp = jnp.pad(h, ((0, 0), (0, 2 * To - T), (0, 2 * Fo - F), (0, 0)))
+    ph = hp.reshape(B, To, 2, Fo, 2, C)
+    # [row_phase][col_phase] → [B, To, Fo, C]
+    phase = [[ph[:, :, i, :, j, :] for j in range(2)] for i in range(2)]
+
+    def shift_back(x, axis):
+        """x[t] → x[t-1] with zero at t=0 (src index 2t-1 for dt=0)."""
+        pad = [(0, 0)] * 4
+        pad[axis] = (1, 0)
+        sl = [slice(None)] * 4
+        sl[axis] = slice(0, x.shape[axis])
+        return jnp.pad(x, pad)[tuple(sl)]
+
+    taps = []
+    for dt in range(3):
+        row_phase = 0 if dt == 1 else 1  # even row for center tap, odd else
+        for df in range(3):
+            col_phase = 0 if df == 1 else 1
+            t = phase[row_phase][col_phase]
+            if dt == 0:
+                t = shift_back(t, 1)
+            if df == 0:
+                t = shift_back(t, 2)
+            taps.append(t)
+    return taps
+
+
 class DWStridingSubsampling(nn.Module):
     """Depthwise-striding conv subsampling: one full Conv2d stride 2, then
     (log2(factor)-1) × [depthwise stride-2 conv + pointwise conv], SiLU
-    between, final linear to d_model.  Input [B, T, F] → [B, T/factor, d]."""
+    between, final linear to d_model.  Input [B, T, F] → [B, T/factor, d].
+
+    TPU-first lowering: XLA handles a C_in=1 conv and grouped depthwise 2D
+    convs very poorly (measured ~45% of the whole fwd+bwd step) — both are
+    expressed here as 9 strided slices feeding one matmul (full conv) or a
+    per-channel multiply-add (depthwise).  Parameter shapes match the conv
+    formulation so checkpoints interchange."""
 
     config: ConformerConfig
 
@@ -196,23 +239,36 @@ class DWStridingSubsampling(nn.Module):
         act = _act(cfg.subsampling_act)
         n_stages = {2: 1, 4: 2, 8: 3}[cfg.subsampling_factor]
         C = cfg.subsampling_conv_channels
-        h = x[..., None]  # [B, T, F, 1]
-        h = nn.Conv(
-            C, (3, 3), strides=(2, 2), padding="SAME", dtype=cfg.compute_dtype,
-            param_dtype=jnp.float32, name="conv_in",
-        )(h)
+
+        # stage 0: full 3×3 stride-2 conv with 1 input channel — 9 shifted
+        # phase tensors, each broadcast-multiplied by its tap weights
+        k_in = self.param("conv_in_kernel", nn.initializers.lecun_normal(),
+                          (3, 3, 1, C))
+        b_in = self.param("conv_in_bias", nn.initializers.zeros, (C,))
+        taps = _taps_3x3_s2(x[..., None].astype(cfg.compute_dtype))
+        w_in = k_in.reshape(9, C).astype(cfg.compute_dtype)
+        # NOTE: a stacked-taps einsum (contraction dim 9) lowers terribly on
+        # the MXU (measured 20x slower); the 9-term broadcast sum is VPU work
+        h = b_in.astype(cfg.compute_dtype) + sum(
+            taps[j] * w_in[j] for j in range(9)
+        )
         h = act(h)
+
         for i in range(n_stages - 1):
-            h = nn.Conv(
-                C, (3, 3), strides=(2, 2), padding="SAME",
-                feature_group_count=C, dtype=cfg.compute_dtype,
-                param_dtype=jnp.float32, name=f"dw_conv_{i}",
-            )(h)
+            k_dw = self.param(f"dw_conv_{i}_kernel", nn.initializers.lecun_normal(),
+                              (3, 3, 1, C))
+            b_dw = self.param(f"dw_conv_{i}_bias", nn.initializers.zeros, (C,))
+            taps = _taps_3x3_s2(h)
+            w = k_dw.reshape(9, C).astype(cfg.compute_dtype)
+            h = b_dw.astype(cfg.compute_dtype) + sum(
+                taps[j] * w[j] for j in range(9)
+            )
             h = nn.Conv(
                 C, (1, 1), dtype=cfg.compute_dtype, param_dtype=jnp.float32,
                 name=f"pw_conv_{i}",
             )(h)
             h = act(h)
+
         B, T_ds, F_ds, _ = h.shape
         h = h.reshape(B, T_ds, F_ds * C)
         h = nn.Dense(

@@ -1,0 +1,110 @@
+"""Rule-driven torch → JAX weight conversion for conformer checkpoints.
+
+The reference loads published torch checkpoints of the external ``lcasr``
+SCConformerXL (``lcasr/run.py:37-47``).  That package's module naming is not
+vendored in the reference tree, so this converter is *rule-driven*: a mapping
+table of (regex over torch keys → parameter path in this model) plus shape
+adapters (dense kernels transpose, conv kernels reorder, qkv fusion).  The
+default rules cover the naming conventions the config schema implies
+(``subsampling``, ``layers.N`` blocks with macaron FF / attention / conv
+module, shared ``decoder`` CTC head); unmatched keys are reported so a new
+checkpoint's scheme can be mapped by extending the table — the fidelity
+check is ``parity_report`` (same input, max |Δlog-prob|), per SURVEY.md §7.2.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def t_dense(w):  # torch Linear [out, in] → flax kernel [in, out]
+    return np.asarray(w).T
+
+
+def t_conv1d(w):  # torch Conv1d [out, in/groups, k] → flax [k, in/groups, out]
+    return np.transpose(np.asarray(w), (2, 1, 0))
+
+
+def t_conv2d(w):  # torch Conv2d [out, in/groups, kh, kw] → flax [kh, kw, in/groups, out]
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def identity(w):
+    return np.asarray(w)
+
+
+# (torch-key regex → (target path template, adapter)); \1.. backrefs allowed
+DEFAULT_RULES: List[Tuple[str, str, Callable]] = [
+    # subsampling
+    (r"subsampling\.conv_in\.weight", "subsampling/conv_in_kernel", t_conv2d),
+    (r"subsampling\.conv_in\.bias", "subsampling/conv_in_bias", identity),
+    (r"subsampling\.dw_conv\.(\d+)\.weight", r"subsampling/dw_conv_\1_kernel", t_conv2d),
+    (r"subsampling\.dw_conv\.(\d+)\.bias", r"subsampling/dw_conv_\1_bias", identity),
+    (r"subsampling\.pw_conv\.(\d+)\.weight", r"subsampling/pw_conv_\1/kernel", t_conv2d),
+    (r"subsampling\.pw_conv\.(\d+)\.bias", r"subsampling/pw_conv_\1/bias", identity),
+    (r"subsampling\.out\.weight", "subsampling/out/kernel", t_dense),
+    (r"subsampling\.out\.bias", "subsampling/out/bias", identity),
+    # conformer blocks
+    (r"layers\.(\d+)\.ff1\.in_proj\.weight", r"layer_\1/ff1/in/kernel", t_dense),
+    (r"layers\.(\d+)\.ff1\.out_proj\.weight", r"layer_\1/ff1/out/kernel", t_dense),
+    (r"layers\.(\d+)\.ff2\.in_proj\.weight", r"layer_\1/ff2/in/kernel", t_dense),
+    (r"layers\.(\d+)\.ff2\.out_proj\.weight", r"layer_\1/ff2/out/kernel", t_dense),
+    (r"layers\.(\d+)\.attn\.qkv\.weight", r"layer_\1/attn/qkv/kernel", t_dense),
+    (r"layers\.(\d+)\.attn\.out\.weight", r"layer_\1/attn/out/kernel", t_dense),
+    (r"layers\.(\d+)\.attn\.out\.bias", r"layer_\1/attn/out/bias", identity),
+    (r"layers\.(\d+)\.conv\.pw1\.weight", r"layer_\1/conv/pw1/kernel", t_conv1d),
+    (r"layers\.(\d+)\.conv\.pw1\.bias", r"layer_\1/conv/pw1/bias", identity),
+    (r"layers\.(\d+)\.conv\.dw\.weight", r"layer_\1/conv/dw_kernel", t_conv1d),
+    (r"layers\.(\d+)\.conv\.dw\.bias", r"layer_\1/conv/dw_bias", identity),
+    (r"layers\.(\d+)\.conv\.pw2\.weight", r"layer_\1/conv/pw2/kernel", t_conv1d),
+    (r"layers\.(\d+)\.conv\.pw2\.bias", r"layer_\1/conv/pw2/bias", identity),
+    # norms (generic)
+    (r"layers\.(\d+)\.(ff1|ff2|attn|conv)\.norm\.weight", r"layer_\1/\2/LayerNorm_0/scale", identity),
+    (r"layers\.(\d+)\.(ff1|ff2|attn|conv)\.norm\.bias", r"layer_\1/\2/LayerNorm_0/bias", identity),
+    (r"layers\.(\d+)\.norm_out\.weight", r"layer_\1/norm_out/scale", identity),
+    (r"layers\.(\d+)\.norm_out\.bias", r"layer_\1/norm_out/bias", identity),
+    # CTC head + self-conditioning
+    (r"decoder_norm\.weight", "decoder_norm/scale", identity),
+    (r"decoder_norm\.bias", "decoder_norm/bias", identity),
+    (r"decoder\.weight", "decoder/kernel", t_dense),
+    (r"decoder\.bias", "decoder/bias", identity),
+    (r"self_condition_reembed\.weight", "self_condition_reembed/kernel", t_dense),
+]
+
+
+def convert_state_dict(
+    state: Dict[str, np.ndarray],
+    rules: Optional[Sequence[Tuple[str, str, Callable]]] = None,
+) -> Tuple[Dict, List[str]]:
+    """Apply the mapping rules; returns (nested params tree, unmatched keys)."""
+    rules = list(rules or DEFAULT_RULES)
+    tree: Dict = {}
+    unmatched = []
+    for key, value in state.items():
+        for pattern, target, adapt in rules:
+            m = re.fullmatch(pattern, key)
+            if m:
+                path = m.expand(target) if "\\" in target else target
+                node = tree
+                parts = path.split("/")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = adapt(value)
+                break
+        else:
+            unmatched.append(key)
+    return tree, unmatched
+
+
+def parity_report(model, variables, converted_params, example_input) -> float:
+    """Max |Δ final log-prob| between the randomly-initialized and converted
+    parameter sets on the same input — the SURVEY.md §7.2 parity harness
+    (meaningful once both sides hold the same published weights)."""
+    import jax.numpy as jnp
+
+    a = model.apply(variables, example_input)["final_posteriors"]
+    b = model.apply({**variables, "params": converted_params}, example_input)["final_posteriors"]
+    return float(jnp.max(jnp.abs(a - b)))

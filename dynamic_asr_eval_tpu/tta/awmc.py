@@ -44,9 +44,9 @@ class AWMCEngine(DynamicEvalEngine):
     replaces the adaptation step with the anchor/leader scheme."""
 
     def _build_awmc(self, W: int, N: int, total_ds: int, epochs: int):
-        T_ds_static = _ds_ceil(W, self.ds)
+        T_ds_static = self.out_len_fn(W)
         max_tokens = max(8, int(T_ds_static * self.max_label_frames_ratio))
-        V = self.blank_id + 1
+        V = self.n_classes
         ema_d = self.config.ema_decay
 
         def decode_with(p, extra_vars, w, l):

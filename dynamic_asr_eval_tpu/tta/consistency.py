@@ -59,9 +59,9 @@ class ConsistencyEngine(DynamicEvalEngine):
             self.optimizer = optimizer
 
     def _build_run(self, W: int, N: int, total_ds: int, epochs: int, online: bool):
-        T_ds_static = _ds_ceil(W, self.ds)
+        T_ds_static = self.out_len_fn(W)
         max_tokens = max(8, int(T_ds_static * self.max_label_frames_ratio))
-        V = self.blank_id + 1
+        V = self.n_classes
         nn_neg = self.num_negatives
 
         def chunk_grad(params, extra_vars, window, w_len, key):

@@ -120,6 +120,8 @@ class DynamicEvalEngine:
         infer_batch: int = 4,
         transfer_dtype=jnp.float32,
         augment_fn=None,
+        out_len_fn=None,
+        n_classes=None,
     ):
         self.model = model
         self.blank_id = blank_id
@@ -133,6 +135,13 @@ class DynamicEvalEngine:
         # waveform-domain backends (wav2vec2) pass augment.waveform's chain;
         # signature: (batch [B, F, W], key, actual_len) -> [B, F, W]
         self.augment_fn = augment_fn
+        # static output length for a window of W input frames; conformer-style
+        # models produce ceil(W/ds), conv-VALID models (wav2vec2) fewer —
+        # must match the model so lax.cond skip branches agree on shapes
+        self.out_len_fn = out_len_fn or (lambda W: -(-W // subsampling_factor))
+        # output dim: vocab+1 with blank last (reference convention) unless
+        # stated (wav2vec2 uses blank id 0 with n_classes == vocab_size)
+        self.n_classes = n_classes if n_classes is not None else blank_id + 1
         if optimizer is None:
             opt_args = dict(config.optim_args)
             lr = opt_args.pop("lr", 9e-5)
@@ -172,8 +181,8 @@ class DynamicEvalEngine:
         nn = self.num_negatives
         F = spec_dev.shape[0]
         window = jax.lax.dynamic_slice(spec_dev, (0, start), (F, W)).astype(jnp.float32)
-        T_ds_static = _ds_ceil(W, self.ds)
-        V = self.blank_id + 1
+        T_ds_static = self.out_len_fn(W)
+        V = self.n_classes
 
         def do_step(params, opt_state):
             aug = jnp.repeat(window[None], nn, axis=0)
@@ -254,9 +263,9 @@ class DynamicEvalEngine:
     def _build_adapt(self, W: int, N: int, total_ds: int, online: bool):
         """One jitted call per recording-shape bucket: optimizer init + scan
         over windows (+ online stitching)."""
-        T_ds = _ds_ceil(W, self.ds)
+        T_ds = self.out_len_fn(W)
         max_tokens = max(8, int(T_ds * self.max_label_frames_ratio))
-        V = self.blank_id + 1
+        V = self.n_classes
 
         def run(params, opt_state, extra_vars, spec_dev, starts, lengths, starts_ds, order, key):
             step = partial(
@@ -295,7 +304,7 @@ class DynamicEvalEngine:
     # -- inference (no-grad chunked forward + stitch) ----------------------
     def _build_infer(self, W: int, N: int, total_ds: int):
         b = self.infer_batch
-        V = self.blank_id + 1
+        V = self.n_classes
         n_batches = -(-N // b)
         pad_N = n_batches * b
 

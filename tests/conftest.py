@@ -19,4 +19,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite is dominated by XLA compiles of tiny
+# models; caching makes re-runs several times faster
+jax.config.update("jax_compilation_cache_dir", "/tmp/dae_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for tests"

@@ -182,3 +182,22 @@ class TestReplaceWithFrame:
         assert (out == out[:, :1]).all()
         # the chosen column exists in the source
         assert any(np.allclose(out[:, 0], np.asarray(s)[:, j]) for j in range(20))
+
+
+class TestConvert:
+    def test_rule_mapping_and_unmatched(self):
+        import numpy as np
+        from dynamic_asr_eval_tpu.models.convert import convert_state_dict
+
+        state = {
+            "decoder.weight": np.zeros((29, 32), np.float32),
+            "decoder.bias": np.zeros((29,), np.float32),
+            "layers.0.attn.qkv.weight": np.zeros((96, 32), np.float32),
+            "layers.0.conv.dw.weight": np.zeros((32, 1, 5), np.float32),
+            "mystery.param": np.zeros((3,), np.float32),
+        }
+        tree, unmatched = convert_state_dict(state)
+        assert tree["decoder"]["kernel"].shape == (32, 29)
+        assert tree["layer_0"]["attn"]["qkv"]["kernel"].shape == (32, 96)
+        assert tree["layer_0"]["conv"]["dw_kernel"].shape == (5, 1, 32)
+        assert unmatched == ["mystery.param"]
