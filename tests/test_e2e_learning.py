@@ -130,3 +130,72 @@ class TestEndToEndLearning:
         res = engine({"params": params}, long_spec, return_params=True,
                      rng=jax.random.PRNGKey(1))
         assert wer_on(model, cfg, res.params, 0.0) == 0.0
+
+
+LONG_TEST_TEXTS = [f"{a} {b}" for a in TEST_TEXTS
+                   for b in ["test time works", "adapt the model"]]
+
+
+def wer_on_texts(model, cfg, params, corrupt, texts):
+    hyps, refs = [], []
+    for i, t in enumerate(texts):
+        spec = render(t, corrupt=corrupt, seed=1000 + i)
+        out = model.apply({"params": params}, jnp.asarray(spec)[None])
+        hyps.append(greedy_decode(np.asarray(out["final_posteriors"][0]), TOK, cfg.blank_id))
+        refs.append(t)
+    return word_error_rate_detail(hyps, refs)[0]
+
+
+class TestOtherEnginesImprove:
+    C = 0.7
+
+    def _long_spec(self):
+        return render(" ".join(WORDS * 3), corrupt=self.C, seed=5)
+
+    def test_awmc_improves_at_conservative_lr(self, pretrained):
+        from dynamic_asr_eval_tpu.tta import AWMCEngine
+
+        cfg, model, params = pretrained
+        before = wer_on_texts(model, cfg, params, self.C, LONG_TEST_TEXTS)
+        tta = TTAConfig(seq_len=256, overlap=128, epochs=1, shuffle=False,
+                        spec_augment=SpecAugmentConfig(n_freq_masks=1, freq_mask_param=3),
+                        optim_args={"lr": 1e-5}, ema_decay=0.999)
+        engine = AWMCEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+        res = engine({"params": params}, self._long_spec(), return_params=True,
+                     rng=jax.random.PRNGKey(1))
+        after = wer_on_texts(model, cfg, res.params, self.C, LONG_TEST_TEXTS)
+        assert after <= before, f"AWMC degraded WER {before:.3f} -> {after:.3f}"
+
+    def test_consistency_improves(self, pretrained):
+        from dynamic_asr_eval_tpu.tta import ConsistencyEngine
+
+        cfg, model, params = pretrained
+        before = wer_on_texts(model, cfg, params, self.C, LONG_TEST_TEXTS)
+        tta = TTAConfig(seq_len=256, overlap=128, epochs=4, shuffle=False,
+                        spec_augment=SpecAugmentConfig(n_freq_masks=1, freq_mask_param=3),
+                        optim_args={"lr": 3e-3})
+        engine = ConsistencyEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+        res = engine({"params": params}, self._long_spec(), return_params=True,
+                     rng=jax.random.PRNGKey(1))
+        p0 = jax.tree.map(lambda s: s[0], res.params)
+        after = wer_on_texts(model, cfg, p0, self.C, LONG_TEST_TEXTS)
+        assert after <= before, f"consistency degraded WER {before:.3f} -> {after:.3f}"
+
+    def test_utterance_engine_improves(self, pretrained):
+        from dynamic_asr_eval_tpu.tta.utterance import UtteranceTTAEngine
+
+        cfg, model, params = pretrained
+        before = wer_on_texts(model, cfg, params, self.C, LONG_TEST_TEXTS)
+        utts = [{"spectrogram": render(w, corrupt=self.C, seed=50 + i)}
+                for i, w in enumerate(WORDS * 2)]
+        engine = UtteranceTTAEngine(
+            model, cfg.blank_id, cfg.subsampling_factor,
+            TTAConfig(epochs=2, shuffle=False,
+                      spec_augment=SpecAugmentConfig(n_freq_masks=1, freq_mask_param=3),
+                      optim_args={"lr": 1e-4}),
+            accumulate_gradients=2,
+        )
+        _, p, _ = engine({"params": params}, utts, return_params=True,
+                         rng=jax.random.PRNGKey(2))
+        after = wer_on_texts(model, cfg, p, self.C, LONG_TEST_TEXTS)
+        assert after < before, f"utterance TTA did not improve ({before:.3f} -> {after:.3f})"
