@@ -36,7 +36,7 @@ from dynamic_asr_eval_tpu.augment import apply_augmentation_pipeline
 from dynamic_asr_eval_tpu.config import TTAConfig
 from dynamic_asr_eval_tpu.ops.ctc import ctc_loss, greedy_labels
 from dynamic_asr_eval_tpu.optim.madgrad import madgrad
-from dynamic_asr_eval_tpu.tta.runner import DynamicEvalEngine, EngineOutput, _ds_ceil
+from dynamic_asr_eval_tpu.tta.runner import DynamicEvalEngine, EngineOutput
 
 
 class AWMCEngine(DynamicEvalEngine):

@@ -42,7 +42,7 @@ import optax
 
 from dynamic_asr_eval_tpu.augment import apply_augmentation_pipeline
 from dynamic_asr_eval_tpu.ops.ctc import ctc_loss, greedy_labels
-from dynamic_asr_eval_tpu.tta.runner import DynamicEvalEngine, EngineOutput, _ds_ceil
+from dynamic_asr_eval_tpu.tta.runner import DynamicEvalEngine, EngineOutput
 
 
 class ConsistencyEngine(DynamicEvalEngine):
