@@ -117,10 +117,6 @@ class TransformerLMAdapter:
 
     def advance(self, state, tokens, mask):
         lps, new_cache = self.model.apply(self.variables, tokens.astype(jnp.int32), state)
-        sel = lambda new, old: jnp.where(
-            mask.reshape((1,) * 0 + (-1,) + (1,) * (new.ndim - 1)) if new.ndim > 1 else mask,
-            new, old,
-        )
         cache = {
             "k": jnp.where(mask[None, :, None, None, None], new_cache["k"], state["k"]),
             "v": jnp.where(mask[None, :, None, None, None], new_cache["v"], state["v"]),

@@ -60,6 +60,7 @@ def ctc_loss(
     labels: jnp.ndarray,  # [B, U] padded label ids
     label_lengths: jnp.ndarray,  # [B]
     blank_id: Optional[int] = None,
+    sample_weights: Optional[jnp.ndarray] = None,  # [B] per-sample weights
 ) -> jnp.ndarray:
     """Summed negative log-likelihood over the batch (matches
     ``torch.nn.CTCLoss(reduction='sum')`` semantics used at
@@ -104,6 +105,8 @@ def ctc_loss(
     a2 = jnp.take_along_axis(alpha_final, end2[:, None], axis=1)[:, 0]
     a2 = jnp.where(label_lengths > 0, a2, NEG_INF)
     ll = jnp.logaddexp(a1, a2)
+    if sample_weights is not None:
+        ll = ll * sample_weights
     return -jnp.sum(ll)
 
 

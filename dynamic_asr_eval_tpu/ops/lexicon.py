@@ -146,9 +146,25 @@ def word_beam_search(
     adapter = LexiconConstrainedAdapter(inner, prefix_set, word_set, separator_id, V)
     beam_kwargs.setdefault("alpha", 1.0)
     beam_kwargs.setdefault("beta", 0.0)
-    beam_kwargs.setdefault("exclude_token_zero", separator_id != 0)
+    # the reference's id-0 exclusion is an SPM-special-id convention; here the
+    # lexicon mask governs validity, so id 0 stays decodable by default
+    beam_kwargs.setdefault("exclude_token_zero", False)
     toks, lens, scores = beam_search_device(
         jnp.asarray(log_probs), adapter, beam_width=beam_width, **beam_kwargs
     )
-    ids = [int(x) for x in np.asarray(toks[0])[: int(lens[0])]]
-    return tokenizer.decode(ids).strip()
+    # enforce complete final words (the C++ WordBeamSearch only emits words):
+    # take the best beam whose last word is in the lexicon; if none, strip the
+    # trailing incomplete fragment from the best beam
+    word_strs = set(words)
+    candidates = []
+    for b in range(toks.shape[0]):
+        ids = [int(x) for x in np.asarray(toks[b])[: int(lens[b])]]
+        text = tokenizer.decode(ids).strip()
+        candidates.append(text)
+        parts = text.split()
+        if not parts or parts[-1] in word_strs:
+            return text
+    best = candidates[0].split()
+    while best and best[-1] not in word_strs:
+        best.pop()
+    return " ".join(best)

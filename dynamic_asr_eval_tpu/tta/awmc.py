@@ -84,14 +84,19 @@ class AWMCEngine(DynamicEvalEngine):
                         )
                         lp = out["final_posteriors"]
                         ds_len = out["length"][0]
-                        T_ds = lp.shape[1]
+                        # drop empty label banks like the reference
+                        # (lcasr/lib.py: labels = [el for el in label_bank if
+                        # el.shape[0] > 0]) — an empty bank would otherwise
+                        # train the student toward all-blank collapse
+                        bank_weights = (lens2 > 0).astype(jnp.float32)
                         loss = ctc_loss(
                             jnp.repeat(lp, 2, axis=0),
                             jnp.full((2,), ds_len, jnp.int32),
                             labels2,
                             lens2,
                             blank_id=self.blank_id,
-                        ) / (T_ds * 1 * 2)
+                            sample_weights=bank_weights,
+                        ) / (jnp.maximum(ds_len, 1) * 1 * 2)
                         return loss
 
                     grads = jax.grad(loss_fn)(params)

@@ -267,6 +267,7 @@ class EncDecDynamicEvalEngine:
                         ctc_text = greedy_decode(
                             np.asarray(out["final_posteriors_ctc"][0]),
                             tokenizer, cfg.encoder.blank_id,
+                            input_length=int(out["length"][0]),
                         ).strip()
                 if self.filters.needs_agreement_decode:
                     ag_toks, ag_lens, _ = generate_encdec(
@@ -334,21 +335,10 @@ class EncDecDynamicEvalEngine:
                     )
 
         # final transcript: chunked greedy AR decode with adapted weights
-        texts = []
-        for idx in range(len(starts)):
-            s, L = starts[idx], lengths[idx]
-            chunk_p = np.zeros((spec.shape[0], seq_len), spec.dtype)
-            chunk_p[:, :L] = spec[:, s : s + L]
-            toks, lens, _ = generate_encdec(
-                self.model, {"params": params, **extra_vars},
-                jnp.asarray(chunk_p)[None], cfg, sample=1, greedy=True,
-                max_generate=self.max_generate,
-                length=jnp.asarray([L], jnp.int32),
-            )
-            texts.append(
-                tokenizer.decode([int(x) for x in np.asarray(toks[0])[: int(lens[0])]]).strip()
-            )
-        transcript = " ".join(texts).replace("  ", " ").strip()
+        transcript = enc_dec_inference(
+            self.model, {"params": params, **extra_vars}, spec, seq_len,
+            tokenizer, cfg, max_generate=self.max_generate,
+        )
         elapsed = time.time() - t0
         if return_params:
             return transcript, params, elapsed

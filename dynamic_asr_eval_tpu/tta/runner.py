@@ -221,13 +221,16 @@ class DynamicEvalEngine:
                 labels, lab_len = greedy_labels(clean_lp, ds_len, self.blank_id, max_tokens)
                 aug_lp = lp[:nn]
                 T_ds = aug_lp.shape[1]
+                # normalize by the chunk's ACTUAL downsampled length — the
+                # reference divides by the ragged chunk's N (lcasr/lib.py:573),
+                # and padded-length division would downweight tail chunks
                 loss = ctc_loss(
                     aug_lp,
                     jnp.full((nn,), ds_len, jnp.int32),
                     jnp.repeat(labels[None], nn, axis=0),
                     jnp.full((nn,), lab_len, jnp.int32),
                     blank_id=self.blank_id,
-                ) / (T_ds * nn)
+                ) / (jnp.maximum(ds_len, 1) * nn)
                 return loss, (clean_lp, ds_len)
 
             (loss, (clean_lp, ds_len)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -369,6 +372,13 @@ class DynamicEvalEngine:
             raise ValueError(
                 f"overlap ({overlap}) must be a multiple of the subsampling "
                 f"factor ({self.ds})"  # reference asserts this, lcasr/lib.py:507
+            )
+        if spec_n > seq_len and seq_len % self.ds:
+            # starts_ds = start // ds must be exact or overlapping windows
+            # stitch one frame off at every boundary
+            raise ValueError(
+                f"seq_len ({seq_len}) must be a multiple of the subsampling "
+                f"factor ({self.ds}) when the spectrogram spans multiple windows"
             )
         starts, lengths = chunk_starts_and_lengths(spec_n, seq_len, overlap)
         n_real = len(starts)

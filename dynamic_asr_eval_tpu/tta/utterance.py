@@ -56,6 +56,7 @@ class UtteranceTTAEngine:
         soft_dtw_weight: float = 0.0,
         soft_dtw_gamma: float = 1.0,
         pseudo_label_fn: Optional[Callable] = None,
+        clip_norm: Optional[float] = None,  # reference _su clips at 10.0
     ):
         self.model = model
         self.blank_id = blank_id
@@ -68,6 +69,7 @@ class UtteranceTTAEngine:
         self.soft_dtw_weight = soft_dtw_weight
         self.soft_dtw_gamma = soft_dtw_gamma
         self.pseudo_label_fn = pseudo_label_fn
+        self.clip_norm = clip_norm
         if optimizer is None:
             opt_args = dict(config.optim_args)
             lr = opt_args.pop("lr", 9e-5)
@@ -105,7 +107,7 @@ class UtteranceTTAEngine:
                     jnp.repeat(labels[None], nn_neg, axis=0),
                     jnp.full((nn_neg,), lab_len, jnp.int32),
                     blank_id=self.blank_id,
-                ) / (lp.shape[1] * nn_neg)
+                ) / (jnp.maximum(ds_len, 1) * nn_neg)
                 if self.soft_dtw_weight > 0:
                     # soft-DTW alignment between augmented and clean
                     # posterior sequences (teacher alignment loss; reference
@@ -132,6 +134,10 @@ class UtteranceTTAEngine:
     def _build_apply(self):
         def apply_acc(params, opt_state, acc_grads, n_acc):
             grads = jax.tree.map(lambda g: g / jnp.maximum(n_acc, 1), acc_grads)
+            if self.clip_norm is not None:
+                gnorm = optax.global_norm(grads)
+                scale = jnp.minimum(1.0, self.clip_norm / jnp.maximum(gnorm, 1e-9))
+                grads = jax.tree.map(lambda g: g * scale, grads)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state
 

@@ -233,3 +233,39 @@ class TestLMLoader:
         lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
         text = fn(lp, beam_width=4)
         assert isinstance(text, str)
+
+
+class TestLexiconReviewRegressions:
+    def test_incomplete_final_word_not_returned(self):
+        """Audio ending mid-word must not emit a non-lexicon fragment."""
+        from dynamic_asr_eval_tpu.ops.lexicon import word_beam_search
+
+        tok = CharTokenizer()
+        V, blank = tok.vocab_size(), tok.blank_id
+        ids = tok.encode("ac")  # spells a prefix of nothing in lexicon
+        frames = []
+        for i in ids:
+            frames += [i, blank]
+        lp = np.full((len(frames), V + 1), -5.0, np.float32)
+        for t, k in enumerate(frames):
+            lp[t, k] = 0.0
+        lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
+        out = word_beam_search(lp, ["ab", "ca", "b"], tok, beam_width=8)
+        assert out == "" or all(w in {"ab", "ca", "b"} for w in out.split())
+
+    def test_token_zero_symbol_decodable(self):
+        """Vocabs with a real symbol at id 0 must still decode it."""
+        from dynamic_asr_eval_tpu.ops.lexicon import word_beam_search
+
+        tok = CharTokenizer(alphabet="abc ")  # 'a'=0, separator ' '=3
+        V, blank = tok.vocab_size(), tok.blank_id
+        ids = tok.encode("ab ca")
+        frames = []
+        for i in ids:
+            frames += [i, blank]
+        lp = np.full((len(frames), V + 1), -5.0, np.float32)
+        for t, k in enumerate(frames):
+            lp[t, k] = 0.0
+        lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
+        out = word_beam_search(lp, ["ab", "ca"], tok, separator_id=3, beam_width=8)
+        assert out == "ab ca"
