@@ -132,6 +132,25 @@ class TransformerLMAdapter:
         }
 
 
+def collapse_blank_frames(
+    log_probs: np.ndarray,  # [T, V+1]
+    blank_id: Optional[int] = None,
+    threshold: float = 0.995,
+) -> np.ndarray:
+    """Blank-run collapse ("Blank Collapse", arXiv:2210.17017): drop frames
+    whose blank probability exceeds ``threshold``, keeping ONE frame per
+    blank run so the repeat/new-token separation semantics survive.  CTC
+    emissions are blank-dominated (~80-90% of frames), so beam search over
+    the compacted matrix is typically 5-10× faster with negligible WER
+    effect.  Host-side preprocessing (runs once per recording)."""
+    lp = np.asarray(log_probs)
+    blank = lp.shape[1] - 1 if blank_id is None else blank_id
+    blank_dom = lp[:, blank] > np.log(threshold)
+    prev_dom = np.concatenate([[False], blank_dom[:-1]])
+    keep = ~(blank_dom & prev_dom)  # keep the first blank of each run
+    return lp[keep]
+
+
 # ---------------------------------------------------------------------------
 # Host reference implementation
 # ---------------------------------------------------------------------------

@@ -261,3 +261,33 @@ class TestTransformerLM:
         )
         assert list(host[0][0]) == list(np.asarray(toks[0])[: int(lens[0])])
         assert host[0][1] == pytest.approx(float(scores[0]), abs=1e-2)
+
+
+class TestBlankCollapse:
+    def test_collapse_preserves_decode(self):
+        from dynamic_asr_eval_tpu.ops.beam_search import collapse_blank_frames
+
+        V, blank = 10, 10
+        seq = [3, 5, 5, 7, 2]
+        lp = clean_emissions(seq, V, blank, frames_per=2, blanks_between=6, peak=9.0)
+        lpc = collapse_blank_frames(lp, threshold=0.9)
+        assert lpc.shape[0] < lp.shape[0]
+        kw = dict(beam_width=4, alpha=0.0, beta=0.0, prune_less_than_val=None)
+        full = beam_search_device(jnp.asarray(lp), UniformLMAdapter(V), top_k_tokens=V - 1, **kw)
+        coll = beam_search_device(jnp.asarray(lpc), UniformLMAdapter(V), top_k_tokens=V - 1, **kw)
+        a = list(np.asarray(full[0][0])[: int(full[1][0])])
+        b = list(np.asarray(coll[0][0])[: int(coll[1][0])])
+        assert a == b == seq
+
+    def test_repeated_tokens_survive_collapse(self):
+        """The kept blank per run must preserve the repeat separator."""
+        from dynamic_asr_eval_tpu.ops.beam_search import collapse_blank_frames
+
+        V, blank = 6, 6
+        lp = clean_emissions([2, 2, 2], V, blank, frames_per=2, blanks_between=5, peak=9.0)
+        lpc = collapse_blank_frames(lp, threshold=0.9)
+        toks, lens, _ = beam_search_device(
+            jnp.asarray(lpc), UniformLMAdapter(V), beam_width=4,
+            alpha=0.0, beta=0.0, prune_less_than_val=None, top_k_tokens=V - 1,
+        )
+        assert list(np.asarray(toks[0])[: int(lens[0])]) == [2, 2, 2]
