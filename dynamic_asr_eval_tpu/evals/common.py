@@ -61,10 +61,22 @@ def load_model_and_tokenizer(args) -> Tuple[Any, Dict, Any, ConformerConfig]:
     return model, variables, tokenizer, cfg
 
 
-def build_engine(args, model, cfg: ConformerConfig, engine_kind: str = "dynamic_eval"):
+def build_engine(args, model, cfg: ConformerConfig, engine_kind: str = "dynamic_eval",
+                 lm_adapter=None):
     tta = TTAConfig.from_args(args)
     cls = {"dynamic_eval": DynamicEvalEngine, "awmc": AWMCEngine}[engine_kind]
-    return cls(model, cfg.blank_id, cfg.subsampling_factor, tta)
+    kwargs = {}
+    if lm_adapter is not None and engine_kind == "dynamic_eval" and tta.lm_tta_beams > 0:
+        # LM-fused pseudo-labels (lm_tta_beams, lcasr/lib.py:515) — NSTI only,
+        # matching the reference (AWMC/consistency always use greedy)
+        kwargs["lm_adapter"] = lm_adapter
+        kwargs["lm_beam_kwargs"] = {
+            "alpha": vars(args).get("lm_alpha", 0.45),
+            "beta": vars(args).get("lm_beta", 1.53),
+            "prune_less_than_val": vars(args).get("lm_prune_less_than_val", 3.17),
+            "top_am_threshold": vars(args).get("lm_top_am_threshold", -6.0),
+        }
+    return cls(model, cfg.blank_id, cfg.subsampling_factor, tta, **kwargs)
 
 
 def decode_output(out, tokenizer, beam_search_fn: Optional[Callable] = None,
@@ -88,17 +100,24 @@ def evaluate_records(
 
     ``run_one(record) -> (hypothesis_text, gold_text)``."""
     all_texts, all_golds, elapsed_times = [], [], []
-    for rec in records:
+    for i, rec in enumerate(records):
         t0 = time.time()
         hyp, gold = run_one(rec)
         elapsed_times.append(time.time() - t0)
         if verbose:
             print(gold, "\n", hyp, "\n\n")
+        append_log(
+            log_path,
+            f"record {i + 1}/{len(records)} "
+            f"({rec.get('id', rec.get('audio', '?'))}): "
+            f"elapsed {elapsed_times[-1]:.2f}s",
+        )
         all_texts.append(hyp)
         all_golds.append(gold)
     wer, words, ins_rate, del_rate, sub_rate = word_error_rate_detail(
         hypotheses=all_texts, references=all_golds
     )
+    append_log(log_path, f"corpus WER: {wer} over {words} words")
     detail = {
         "wer": wer,
         "words": words,

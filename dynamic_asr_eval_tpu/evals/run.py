@@ -31,30 +31,44 @@ from dynamic_asr_eval_tpu.text import normalize
 def main(args) -> float:
     model, variables, tokenizer, cfg = load_model_and_tokenizer(args)
     engine_kind = "awmc" if getattr(args, "awmc", False) else "dynamic_eval"
-    engine = build_engine(args, model, cfg, engine_kind)
     records = get_dataset(args.dataset, args.split)
 
-    beam_search_fn = None
+    beam_search_fn, lm_adapter = None, None
     if getattr(args, "language_model", ""):
-        from dynamic_asr_eval_tpu.lm.loader import load_beamsearch
+        from dynamic_asr_eval_tpu.lm.loader import load_beamsearch, load_lm_adapter
 
+        # one adapter serves both the final stitched decode and (when
+        # lm_tta_beams > 0) the in-TTA pseudo-label beam (lcasr/lib.py:515)
+        lm_adapter = load_lm_adapter(args.language_model, tokenizer)
         beam_search_fn = load_beamsearch(
             args.language_model, tokenizer,
             alpha=vars(args).get("lm_alpha", 0.45),
             beta=vars(args).get("lm_beta", 1.53),
             prune_less_than_val=vars(args).get("lm_prune_less_than_val", 3.17),
             top_am_threshold=vars(args).get("lm_top_am_threshold", -6.0),
+            adapter=lm_adapter,
         )
+
+    engine = build_engine(args, model, cfg, engine_kind, lm_adapter=lm_adapter)
 
     wers = []
     repeats = getattr(args, "repeats", 1)
+    seed = getattr(args, "seed", None)
+    base_seed = 0 if seed is None else int(seed)
     for repeat in range(repeats):
+        # distinct seed per repeat — repeats exist to average stochastic-TTA
+        # noise (lcasr/run.py:76,148); identical seeds would make -r N run N
+        # bit-identical evaluations
+        import jax
+
+        repeat_rng = jax.random.PRNGKey(base_seed * 1000 + repeat)
+        repeat_shuffle = np.random.default_rng(base_seed * 1000 + repeat)
 
         def run_one(rec):
             spec, gold = rec["process_fn"](rec)
             out = engine(
                 variables, spec, args.seq_len, args.overlap,
-                rng=None if getattr(args, "seed", None) is None else None,
+                rng=repeat_rng, shuffle_rng=repeat_shuffle,
             )
             hyp = normalize(decode_output(
                 out, tokenizer, beam_search_fn=beam_search_fn,

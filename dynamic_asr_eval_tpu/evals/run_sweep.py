@@ -35,10 +35,17 @@ def _register_run_scripts():
     from dynamic_asr_eval_tpu.evals import enc_dec_dynamic_eval_test as ed_tta
     from dynamic_asr_eval_tpu.evals import enc_dec_inference_test as ed_inf
 
+    def _joint_beam_main(args):
+        # the joint-CTC-beam driver IS enc_dec_inference_test pinned to
+        # mode="joint" — sweeping it must not fall back to plain AR decode
+        args.mode = "joint"
+        return ed_inf.main(args)
+
     RUN_SCRIPTS.update({
         "main": run_mod.main,
         "enc_dec_dynamic_eval_test": ed_tta.main,
-        "enc_dec_ctc_beam_inference_test": ed_inf.main,
+        "enc_dec_inference_test": ed_inf.main,
+        "enc_dec_ctc_beam_inference_test": _joint_beam_main,
     })
 
 
@@ -134,7 +141,9 @@ def cli(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-sc", "--sweep_config", type=str, required=True)
     parser.add_argument("-run_script", "--run_script", type=str, default="main",
-                        choices=["main", "enc_dec_dynamic_eval_test", "enc_dec_ctc_beam_inference_test"])
+                        choices=["main", "enc_dec_dynamic_eval_test",
+                                 "enc_dec_inference_test",
+                                 "enc_dec_ctc_beam_inference_test"])
     parser.add_argument("--count", type=int, default=20)
     parser.add_argument("--out", type=str, default="")
     parser.add_argument("--no_wandb", action="store_true")

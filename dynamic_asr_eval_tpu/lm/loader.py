@@ -65,6 +65,37 @@ def load_lm_checkpoint(path: str):
     return model, jax.tree.map(jnp.asarray, variables), config
 
 
+def load_lm_adapter(
+    path: str,
+    tokenizer,
+    max_cache_length: int = 128,
+    bos_id: int = 0,
+):
+    """Build the device-beam LM adapter for a checkpoint path: ARPA n-gram
+    tables for ``.arpa``/``.gz`` files, the transformer LM otherwise.  Used
+    both for the final stitched decode (``load_beamsearch``) and for
+    LM-fused TTA pseudo-labels (``lm_tta_beams``, lcasr/lib.py:515)."""
+    from dynamic_asr_eval_tpu.ops.beam_search import (
+        NGramAdapter,
+        TransformerLMAdapter,
+    )
+
+    if path.endswith((".arpa", ".arpa.gz", ".gz")):
+        from dynamic_asr_eval_tpu.lm.ngram import load_arpa
+
+        token_to_id = {tokenizer.id_to_piece(i): i
+                       for i in range(tokenizer.vocab_size())}
+        lm = load_arpa(path, token_to_id, tokenizer.vocab_size())
+        return NGramAdapter(lm, bos_id=bos_id)
+    model, variables, config = load_lm_checkpoint(path)
+    # cache trimming (reference max_cache_length, lcasr/lib.py:69-71):
+    # rebuild the module with the requested ring size — parameters are
+    # independent of it
+    config = dataclasses.replace(config, max_cache_length=max_cache_length)
+    model = TransformerLM(config)
+    return TransformerLMAdapter(model, variables, config, bos_id=bos_id)
+
+
 def load_beamsearch(
     path: str,
     tokenizer,
@@ -75,6 +106,7 @@ def load_beamsearch(
     max_cache_length: int = 128,
     bos_id: int = 0,
     blank_collapse_threshold: Optional[float] = 0.99,
+    adapter=None,
 ) -> Callable:
     """Returns ``beam_search_fn(log_probs, beam_width) -> text``.
 
@@ -82,27 +114,12 @@ def load_beamsearch(
     before the search (one frame per blank run is kept) — measured 6× faster
     at Earnings-22 stitched scale with identical output; pass ``None`` for
     the reference's exact frame-by-frame behavior."""
-    from dynamic_asr_eval_tpu.ops.beam_search import (
-        NGramAdapter,
-        TransformerLMAdapter,
-        beam_search_device,
-    )
+    from dynamic_asr_eval_tpu.ops.beam_search import beam_search_device
 
-    if path.endswith((".arpa", ".arpa.gz", ".gz")):
-        from dynamic_asr_eval_tpu.lm.ngram import load_arpa
-
-        token_to_id = {tokenizer.id_to_piece(i): i
-                       for i in range(tokenizer.vocab_size())}
-        lm = load_arpa(path, token_to_id, tokenizer.vocab_size())
-        adapter = NGramAdapter(lm, bos_id=bos_id)
-    else:
-        model, variables, config = load_lm_checkpoint(path)
-        # cache trimming (reference max_cache_length, lcasr/lib.py:69-71):
-        # rebuild the module with the requested ring size — parameters are
-        # independent of it
-        config = dataclasses.replace(config, max_cache_length=max_cache_length)
-        model = TransformerLM(config)
-        adapter = TransformerLMAdapter(model, variables, config, bos_id=bos_id)
+    if adapter is None:
+        adapter = load_lm_adapter(
+            path, tokenizer, max_cache_length=max_cache_length, bos_id=bos_id
+        )
 
     def beam_search_fn(log_probs, beam_width: int = 20) -> str:
         lp = np.asarray(log_probs)

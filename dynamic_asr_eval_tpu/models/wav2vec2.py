@@ -44,6 +44,11 @@ class Wav2Vec2Config:
     conv_strides: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
     pos_conv_kernel: int = 128
     pos_conv_groups: int = 16
+    # HF ``do_stable_layer_norm``: False for wav2vec2-base (POST-norm encoder
+    # blocks, encoder LayerNorm before the block stack), True for the -large
+    # lv60 family (pre-norm blocks, encoder LayerNorm after the stack)
+    stable_layer_norm: bool = False
+    layer_norm_eps: float = 1e-5  # HF default (flax's default is 1e-6)
     compute_dtype: Any = jnp.float32
 
     @property
@@ -103,21 +108,24 @@ class FeatureEncoder(nn.Module):
             if i == 0:
                 m = jnp.arange(h.shape[1])[None, :] < L[:, None]
                 h = MaskedGroupNorm(cfg.conv_dim, name="gn")(h, m)
-            h = jax.nn.gelu(h)
+            h = jax.nn.gelu(h, approximate=False)  # HF nn.GELU is erf-exact
         return h  # [B, T', conv_dim]
 
 
 class EncoderBlock(nn.Module):
+    """One transformer block.  ``stable_layer_norm=False`` (wav2vec2-base,
+    HF ``Wav2Vec2EncoderLayer``) is POST-norm: ``ln1`` normalizes after the
+    attention residual, ``ln2`` after the FF residual.  ``True`` (the -large
+    lv60 family, ``Wav2Vec2EncoderLayerStableLayerNorm``) is pre-norm."""
+
     config: Wav2Vec2Config
 
-    @nn.compact
-    def __call__(self, x, mask):
+    def _attn(self, x, mask):
         cfg = self.config
         H = cfg.n_heads
         D = cfg.hidden // H
-        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32, name="ln1")(x)
         qkv = nn.Dense(3 * cfg.hidden, dtype=x.dtype, param_dtype=jnp.float32,
-                       name="qkv")(h)
+                       name="qkv")(x)
         B, T, _ = x.shape
         q, k, v = jnp.split(qkv.reshape(B, T, 3, H, D), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
@@ -126,16 +134,29 @@ class EncoderBlock(nn.Module):
         logits = jnp.where(mask[:, None, None, :], logits, -1e30)
         attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, cfg.hidden)
-        out = nn.Dense(cfg.hidden, dtype=x.dtype, param_dtype=jnp.float32,
-                       name="attn_out")(out)
-        x = x + out
-        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32, name="ln2")(x)
+        return nn.Dense(cfg.hidden, dtype=x.dtype, param_dtype=jnp.float32,
+                        name="attn_out")(out)
+
+    def _ff(self, x):
+        cfg = self.config
         h = nn.Dense(cfg.ff_dim, dtype=x.dtype, param_dtype=jnp.float32,
-                     name="ff_in")(h)
-        h = jax.nn.gelu(h)
-        h = nn.Dense(cfg.hidden, dtype=x.dtype, param_dtype=jnp.float32,
-                     name="ff_out")(h)
-        return x + h
+                     name="ff_in")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        return nn.Dense(cfg.hidden, dtype=x.dtype, param_dtype=jnp.float32,
+                        name="ff_out")(h)
+
+    @nn.compact
+    def __call__(self, x, mask):
+        cfg = self.config
+        ln1 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=x.dtype,
+                           param_dtype=jnp.float32, name="ln1")
+        ln2 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=x.dtype,
+                           param_dtype=jnp.float32, name="ln2")
+        if cfg.stable_layer_norm:
+            x = x + self._attn(ln1(x), mask)
+            return x + self._ff(ln2(x))
+        x = ln1(x + self._attn(x, mask))
+        return ln2(x + self._ff(x))
 
 
 class Wav2Vec2ForCTC(nn.Module):
@@ -158,22 +179,32 @@ class Wav2Vec2ForCTC(nn.Module):
         out_len = feat_extract_output_lengths(cfg, length).astype(jnp.int32)
         fmask = jnp.arange(Tf)[None, :] < out_len[:, None]
 
-        h = nn.LayerNorm(dtype=feats.dtype, param_dtype=jnp.float32,
-                         name="proj_norm")(feats)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=feats.dtype,
+                         param_dtype=jnp.float32, name="proj_norm")(feats)
         h = nn.Dense(cfg.hidden, dtype=cfg.compute_dtype, param_dtype=jnp.float32,
                      name="proj")(h)
         h = jnp.where(fmask[..., None], h, 0)
 
-        # convolutional positional embedding
-        pos = nn.Conv(cfg.hidden, (cfg.pos_conv_kernel,), padding="SAME",
+        # convolutional positional embedding.  HF pads k//2 on BOTH sides and
+        # then trims one trailing frame when k is even (Wav2Vec2SamePadLayer)
+        # — as explicit asymmetric padding that is (k//2, (k-1)//2); flax's
+        # "SAME" would put the larger pad on the right and shift by one frame
+        kpos = cfg.pos_conv_kernel
+        pos = nn.Conv(cfg.hidden, (kpos,), padding=((kpos // 2, (kpos - 1) // 2),),
                       feature_group_count=cfg.pos_conv_groups,
                       dtype=cfg.compute_dtype, param_dtype=jnp.float32,
                       name="pos_conv")(h)
-        h = h + jax.nn.gelu(pos)
-        h = nn.LayerNorm(dtype=h.dtype, param_dtype=jnp.float32, name="enc_norm")(h)
+        h = h + jax.nn.gelu(pos, approximate=False)
+        enc_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=h.dtype,
+                                param_dtype=jnp.float32, name="enc_norm")
+        if not cfg.stable_layer_norm:  # base: norm BEFORE the block stack
+            h = enc_norm(h)
 
         for i in range(cfg.n_layers):
             h = EncoderBlock(cfg, name=f"layer_{i}")(h, fmask)
+
+        if cfg.stable_layer_norm:  # lv60: norm AFTER the block stack
+            h = enc_norm(h)
 
         logits = nn.Dense(cfg.vocab_size, dtype=jnp.float32,
                           param_dtype=jnp.float32, name="lm_head")(h)
@@ -195,10 +226,17 @@ def init_wav2vec2(config: Wav2Vec2Config, rng, example_T: int = 16000):
 # HuggingFace checkpoint conversion
 # ---------------------------------------------------------------------------
 
-def load_hf_weights(state_dict: Dict[str, np.ndarray], config: Wav2Vec2Config) -> Dict:
-    """Convert a HF ``Wav2Vec2ForCTC`` torch state dict (numpy values) into
-    this model's parameter tree.  Dense kernels transpose [out,in]→[in,out];
-    convs [out,in,k]→[k,in,out]."""
+def load_hf_weights(state_dict: Dict[str, Any], config: Wav2Vec2Config) -> Dict:
+    """Convert a HF ``Wav2Vec2ForCTC`` torch state dict into this model's
+    parameter tree (numerically validated in tests/test_convert_parity.py).
+    Dense kernels transpose [out,in]→[in,out]; convs [out,in,k]→[k,in,out];
+    weight-normed pos-conv weights are materialized.  Accepts torch tensors
+    or numpy values, with or without a DDP ``module.`` prefix."""
+    state_dict = {
+        (k[len("module."):] if k.startswith("module.") else k):
+            (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
     p: Dict[str, Any] = {}
 
     def dense(prefix_hf, w="weight", b="bias"):
@@ -222,9 +260,26 @@ def load_hf_weights(state_dict: Dict[str, np.ndarray], config: Wav2Vec2Config) -
     p["proj_norm"] = ln("wav2vec2.feature_projection.layer_norm")
     p["proj"] = dense("wav2vec2.feature_projection.projection")
 
-    w = state_dict["wav2vec2.encoder.pos_conv_embed.conv.weight"]
+    # pos-conv weights ship weight-normed: torch>=2.1 stores
+    # ``parametrizations.weight.original0`` (the magnitude g, [1,1,k]) and
+    # ``original1`` (the direction v, [out, in/groups, k]) with dim=2
+    # (HF Wav2Vec2PositionalConvEmbedding); torch<2.1 used ``weight_g`` /
+    # ``weight_v``; a de-parametrized export has a plain ``weight``
+    pcp = "wav2vec2.encoder.pos_conv_embed.conv"
+    if f"{pcp}.parametrizations.weight.original0" in state_dict:
+        g = np.asarray(state_dict[f"{pcp}.parametrizations.weight.original0"])
+        v = np.asarray(state_dict[f"{pcp}.parametrizations.weight.original1"])
+        norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=(0, 1), keepdims=True))
+        w = (g * v / norm).astype(v.dtype)
+    elif f"{pcp}.weight_g" in state_dict:
+        g = np.asarray(state_dict[f"{pcp}.weight_g"])
+        v = np.asarray(state_dict[f"{pcp}.weight_v"])
+        norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=(0, 1), keepdims=True))
+        w = (g * v / norm).astype(v.dtype)
+    else:
+        w = np.asarray(state_dict[f"{pcp}.weight"])
     pc = {"kernel": np.transpose(w, (2, 1, 0)),
-          "bias": state_dict["wav2vec2.encoder.pos_conv_embed.conv.bias"]}
+          "bias": state_dict[f"{pcp}.bias"]}
     p["pos_conv"] = pc
     p["enc_norm"] = ln("wav2vec2.encoder.layer_norm")
 

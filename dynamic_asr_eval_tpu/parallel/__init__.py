@@ -1,15 +1,17 @@
 from dynamic_asr_eval_tpu.parallel.mesh import (
-    make_mesh,
+    batch_sharding,
     conformer_param_sharding,
-    shard_params,
-    replicate,
+    make_mesh,
     psum_wer_counts,
+    replicate,
+    shard_params,
 )
 
 __all__ = [
-    "make_mesh",
+    "batch_sharding",
     "conformer_param_sharding",
-    "shard_params",
-    "replicate",
+    "make_mesh",
     "psum_wer_counts",
+    "replicate",
+    "shard_params",
 ]

@@ -35,14 +35,12 @@ def _build_normalizer():
         )
 
         # Whisper's normalizer takes an english_spelling_mapping dict; the
-        # reference uses openai-whisper's default (loaded from english.json).
-        try:
-            from transformers.models.whisper.english_normalizer import (
-                EnglishSpellingNormalizer,  # noqa: F401  (presence check)
-            )
-        except Exception:
-            pass
-        return _HFNormalizer({})
+        # reference uses openai-whisper's default (english.json).  That file
+        # is not in this image — text/spelling.py regenerates the same
+        # British→American table from its morphological families.
+        from dynamic_asr_eval_tpu.text.spelling import english_spelling_mapping
+
+        return _HFNormalizer(english_spelling_mapping())
     except Exception:  # pragma: no cover - fallback path
         return _BasicEnglishNormalizer()
 

@@ -82,13 +82,16 @@ class ConsistencyEngine(DynamicEvalEngine):
                 ds_len = out["length"][0]
                 clean_lp = jax.lax.stop_gradient(lp[-1])
                 labels, lab_len = greedy_labels(clean_lp, ds_len, self.blank_id, max_tokens)
+                # normalize by the chunk's ACTUAL downsampled length (the
+                # reference divides by the ragged chunk's N, lcasr/lib.py:787-791);
+                # padded-length division would downweight tail chunks up to ds×
                 loss = ctc_loss(
                     lp[:nn_neg],
                     jnp.full((nn_neg,), ds_len, jnp.int32),
                     jnp.repeat(labels[None], nn_neg, axis=0),
                     jnp.full((nn_neg,), lab_len, jnp.int32),
                     blank_id=self.blank_id,
-                ) / (lp.shape[1] * nn_neg)
+                ) / (jnp.maximum(ds_len, 1) * nn_neg)
                 return loss, (clean_lp, ds_len)
 
             (loss, (clean_lp, ds_len)), grads = jax.value_and_grad(

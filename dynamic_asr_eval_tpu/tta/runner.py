@@ -122,6 +122,8 @@ class DynamicEvalEngine:
         augment_fn=None,
         out_len_fn=None,
         n_classes=None,
+        lm_adapter=None,
+        lm_beam_kwargs: Optional[Dict[str, Any]] = None,
     ):
         self.model = model
         self.blank_id = blank_id
@@ -142,6 +144,15 @@ class DynamicEvalEngine:
         # output dim: vocab+1 with blank last (reference convention) unless
         # stated (wav2vec2 uses blank id 0 with n_classes == vocab_size)
         self.n_classes = n_classes if n_classes is not None else blank_id + 1
+        # LM-fused pseudo-labels (reference ``lm_tta_beams``,
+        # lcasr/lib.py:515,558-563): when an LM adapter is supplied and
+        # ``config.lm_tta_beams > 0``, pseudo-labels come from the on-device
+        # LM beam search instead of greedy — entirely inside the adapt scan
+        # (the reference ships logits to CPU and runs pyctcdecode per chunk).
+        # Divergence note: the reference round-trips the beam text through
+        # the tokenizer before CTC; we use the beam's token ids directly.
+        self.lm_adapter = lm_adapter
+        self.lm_beam_kwargs = dict(lm_beam_kwargs or {})
         if optimizer is None:
             opt_args = dict(config.optim_args)
             lr = opt_args.pop("lr", 9e-5)
@@ -169,6 +180,27 @@ class DynamicEvalEngine:
 
     def _forward(self, variables, batch, lengths):
         return self.model.apply(variables, batch, length=lengths)
+
+    def _pseudo_labels(self, clean_lp, ds_len, max_tokens: int):
+        """Pseudo-label decode of the clean stream — greedy, or the LM-fused
+        device beam when ``lm_tta_beams`` is active (lcasr/lib.py:558-563).
+        Both paths return (labels [max_tokens], length) with matching shapes
+        so they compose with ``lax.cond`` skip branches."""
+        beams = int(getattr(self.config, "lm_tta_beams", 0) or 0)
+        if self.lm_adapter is None or beams <= 0:
+            return greedy_labels(clean_lp, ds_len, self.blank_id, max_tokens)
+        from dynamic_asr_eval_tpu.ops.beam_search import beam_search_device
+
+        toks, lens, _ = beam_search_device(
+            clean_lp,
+            self.lm_adapter,
+            beam_width=beams,
+            blank_id=self.blank_id,
+            valid_frames=ds_len,
+            max_tokens=max_tokens,
+            **self.lm_beam_kwargs,
+        )
+        return toks[0], jnp.minimum(lens[0], max_tokens).astype(jnp.int32)
 
     # -- single adaptation step (traced) ----------------------------------
     def _adapt_step(self, optimizer, extra_vars, max_tokens, total_ds, W, spec_dev, carry, xs):
@@ -218,7 +250,7 @@ class DynamicEvalEngine:
                 lp = out["final_posteriors"]
                 ds_len = out["length"][0]
                 clean_lp = jax.lax.stop_gradient(lp[-1])
-                labels, lab_len = greedy_labels(clean_lp, ds_len, self.blank_id, max_tokens)
+                labels, lab_len = self._pseudo_labels(clean_lp, ds_len, max_tokens)
                 aug_lp = lp[:nn]
                 T_ds = aug_lp.shape[1]
                 # normalize by the chunk's ACTUAL downsampled length — the

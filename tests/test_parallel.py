@@ -1,0 +1,216 @@
+"""Multi-device mesh tests on the 8 virtual CPU devices (conftest.py).
+
+Covers the parallel/ package end-to-end: mesh construction, TP sharding rules
+(divisibility fallback to replication), distributed WER accumulation, and a
+full dp×tp×sp NSTI training step that must agree with the single-device step
+(reference parity surface: SURVEY.md §2.3 — the reference is single-GPU, so
+sharded-vs-unsharded agreement IS the correctness bar).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dynamic_asr_eval_tpu.augment import apply_augmentation_pipeline
+from dynamic_asr_eval_tpu.config import (
+    CutoutConfig,
+    FrameShuffleConfig,
+    SpecAugmentConfig,
+)
+from dynamic_asr_eval_tpu.models import ConformerConfig, init_conformer
+from dynamic_asr_eval_tpu.ops.ctc import ctc_loss, greedy_labels
+from dynamic_asr_eval_tpu.optim import madgrad
+from dynamic_asr_eval_tpu.parallel import (
+    batch_sharding,
+    conformer_param_sharding,
+    make_mesh,
+    psum_wer_counts,
+    replicate,
+    shard_params,
+)
+
+
+def _tiny_cfg(d_model=64, n_heads=2, ff_mult=4):
+    return ConformerConfig(
+        feat_in=16,
+        n_layers=2,
+        d_model=d_model,
+        n_heads=n_heads,
+        head_dim=32,
+        vocab_size=64,
+        subsampling_factor=4,
+        subsampling_conv_channels=8,
+        conv_kernel_size=5,
+        compute_dtype=jnp.float32,
+    )
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["dp"] == 8 and mesh.shape["tp"] == 1
+    mesh = make_mesh(tp=2)
+    assert mesh.shape["dp"] == 4 and mesh.shape["tp"] == 2
+    mesh = make_mesh(n_devices=4, tp=4)
+    assert mesh.shape["dp"] == 1 and mesh.shape["tp"] == 4
+    with pytest.raises(ValueError):
+        make_mesh(n_devices=6, tp=4)
+
+
+def test_tp_sharding_rules_and_divisibility():
+    mesh = make_mesh(tp=2)
+    cfg = _tiny_cfg()
+    _, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=64)
+    shardings = conformer_param_sharding(variables["params"], mesh)
+
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    sharded_paths = [
+        "/".join(str(getattr(k, "key", k)) for k in path)
+        for path, s in flat
+        if s.spec != P()
+    ]
+    # FF + attention + conv pointwise kernels must actually be TP-sharded
+    assert any("ff1" in p for p in sharded_paths), sharded_paths
+    assert any("qkv" in p for p in sharded_paths)
+    assert any("pw1" in p for p in sharded_paths)
+    # biases / norms stay replicated
+    assert not any("scale" in p for p in sharded_paths)
+
+    # placing params must succeed and preserve values
+    placed, _ = shard_params(variables["params"], mesh)
+    orig = jax.tree.leaves(variables["params"])
+    new = jax.tree.leaves(placed)
+    for a, b in zip(orig, new):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp_indivisible_falls_back_to_replication():
+    # tp=8 does not divide the tiny model's head count (2 heads × 32 = 64
+    # divides, but d_ff etc. may not) — the rule must never produce an
+    # invalid sharding; everything indivisible is replicated
+    mesh = Mesh(np.asarray(jax.devices()).reshape(1, 8), ("dp", "tp"))
+    cfg = _tiny_cfg()
+    _, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=64)
+    placed, shardings = shard_params(variables["params"], mesh)
+    for leaf, s in zip(jax.tree.leaves(placed), jax.tree.leaves(shardings)):
+        for dim, name in zip(leaf.shape, s.spec + (None,) * leaf.ndim):
+            if name is not None:
+                assert dim % mesh.shape[name] == 0
+
+
+def test_psum_wer_counts():
+    mesh = make_mesh()  # dp=8
+
+    from jax.experimental.shard_map import shard_map
+
+    counts = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
+
+    f = shard_map(
+        lambda c: psum_wer_counts(c, "dp"),
+        mesh=mesh,
+        in_specs=P("dp", None),
+        out_specs=P("dp", None),
+    )
+    out = np.asarray(f(counts))
+    expect = counts.sum(axis=0)
+    for row in out:
+        np.testing.assert_allclose(row, expect)
+
+
+def _nsti_step_fn(model, optimizer, blank, max_tokens, sa, fs, co):
+    def train_step(params, opt_state, windows, lengths, key):
+        B = windows.shape[0]
+        aug = apply_augmentation_pipeline(windows, key, sa, fs, co, 0.0)
+        batch = jnp.concatenate([aug, windows], axis=0)
+        lens2 = jnp.concatenate([lengths, lengths])
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, batch, length=lens2)
+            lp = out["final_posteriors"]
+            ds_len = out["length"]
+            clean_lp = jax.lax.stop_gradient(lp[B:])
+            labels, lab_lens = jax.vmap(
+                lambda l, n: greedy_labels(l, n, blank, max_tokens)
+            )(clean_lp, ds_len[B:])
+            loss = ctc_loss(lp[:B], ds_len[:B], labels, lab_lens, blank_id=blank)
+            return loss / (B * lp.shape[1])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def test_dp_tp_sp_step_matches_single_device():
+    """One NSTI update on a dp=2×tp=2×sp=2 mesh must (a) run, (b) produce a
+    finite loss, (c) move the parameters, and (d) agree with the identical
+    step executed unsharded on one device."""
+    devices = jax.devices()
+    mesh = Mesh(np.asarray(devices).reshape(2, 2, 2), ("dp", "tp", "sp"))
+
+    cfg = _tiny_cfg()
+    W = 128
+    model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=W)
+    params = variables["params"]
+    opt = madgrad(1e-3)
+
+    sa = SpecAugmentConfig(n_freq_masks=1, freq_mask_param=2)
+    fs = FrameShuffleConfig()
+    co = CutoutConfig(seq_len=W, num_rectangles=0)
+    step = _nsti_step_fn(model, opt, cfg.blank_id, 8, sa, fs, co)
+
+    B = 4
+    windows = jnp.asarray(
+        np.random.default_rng(1).standard_normal((B, cfg.feat_in, W)), jnp.float32
+    )
+    lengths = jnp.full((B,), W, jnp.int32)
+    key = jax.random.PRNGKey(2)
+
+    # single-device reference
+    ref_params, _, ref_loss = jax.jit(step)(params, opt.init(params), windows, lengths, key)
+
+    # sharded
+    sh_params, param_shardings = shard_params(params, mesh)
+    opt_state = opt.init(sh_params)
+    jitted = jax.jit(
+        step,
+        in_shardings=(
+            param_shardings,
+            None,
+            NamedSharding(mesh, P("dp", None, "sp")),
+            NamedSharding(mesh, P("dp")),
+            NamedSharding(mesh, P()),
+        ),
+        out_shardings=(param_shardings, None, NamedSharding(mesh, P())),
+    )
+    with mesh:
+        new_params, _, loss = jitted(sh_params, opt_state, windows, lengths, key)
+    loss = float(loss)
+    assert np.isfinite(loss)
+    np.testing.assert_allclose(loss, float(ref_loss), rtol=2e-4, atol=2e-5)
+
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), params, new_params
+    )
+    assert max(jax.tree.leaves(deltas)) > 0, "sharded step did not update params"
+
+    agree = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), ref_params, new_params
+    )
+    assert max(jax.tree.leaves(agree)) < 1e-3, (
+        "sharded step diverged from the single-device step"
+    )
+
+
+def test_batch_sharding_and_replicate_roundtrip():
+    mesh = make_mesh()
+    x = jnp.arange(16.0).reshape(8, 2)
+    placed = jax.device_put(x, batch_sharding(mesh))
+    np.testing.assert_array_equal(np.asarray(placed), np.asarray(x))
+    tree = {"a": jnp.ones((3,)), "b": jnp.zeros((2, 2))}
+    rep = replicate(tree, mesh)
+    np.testing.assert_array_equal(np.asarray(rep["a"]), np.ones((3,)))

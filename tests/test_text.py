@@ -76,6 +76,32 @@ class TestNormalizer:
         out = normalize("it's Mr. Smith")
         assert "it is" in out and "mister smith" in out
 
+    def test_british_american_spelling(self):
+        # the reference normalizes through whisper's english.json spelling
+        # table (lcasr/run.py:8-9); ours is regenerated in text/spelling.py
+        pairs = [
+            ("colour", "color"), ("organised", "organized"),
+            ("analyse", "analyze"), ("travelled", "traveled"),
+            ("defence", "defense"), ("programme", "program"),
+            ("favourite", "favorite"), ("theatre", "theater"),
+            ("catalogue", "catalog"), ("manoeuvre", "maneuver"),
+            ("paediatric", "pediatric"), ("grey", "gray"),
+        ]
+        for british, american in pairs:
+            assert normalize(british) == american, british
+        # words that are NOT British variants must pass through unchanged
+        for word in ["surprise", "advertise", "exercise", "promise",
+                     "compromise", "practice", "patrolled", "cancellation",
+                     "greyhound", "televise"]:
+            assert normalize(word) == word, word
+
+    def test_spelling_table_size(self):
+        from dynamic_asr_eval_tpu.text.spelling import english_spelling_mapping
+
+        m = english_spelling_mapping()
+        assert len(m) > 1500  # whisper's english.json is ~1.7k entries
+        assert all(k != v for k, v in m.items())
+
 
 class TestTokenizers:
     def test_char_roundtrip(self):

@@ -208,3 +208,97 @@ class TestEntropyAugmentation:
         )
         out = engine(variables, spec)
         assert np.isfinite(out.numpy_logits()).all()
+
+
+class _BiasedLMAdapter:
+    """Test LM: constant distribution strongly favoring one token."""
+
+    def __init__(self, vocab_size: int, favored: int):
+        self.V = vocab_size
+        self.favored = favored
+
+    def _lps(self, B):
+        lps = jnp.full((B, self.V), -8.0)
+        return lps.at[:, self.favored].set(-0.01)
+
+    def init_state(self, batch: int):
+        return (), self._lps(batch)
+
+    def advance(self, state, tokens, mask):
+        return state, self._lps(tokens.shape[0])
+
+    def gather(self, state, idx):
+        return state
+
+
+class TestLMTTABeams:
+    """lm_tta_beams: LM-fused pseudo-labels inside the NSTI engine
+    (lcasr/lib.py:515,558-563)."""
+
+    def _ambiguous_lp(self, T=12, V=CFG.n_classes):
+        # frames where token 2 narrowly beats token 3 acoustically; an LM
+        # favoring 3 must flip the beam pseudo-label away from greedy
+        lp = np.full((T, V), -12.0, np.float32)
+        blank = CFG.blank_id
+        lp[:, blank] = -3.0
+        lp[4] = -12.0
+        lp[4, 2] = -0.35
+        lp[4, 3] = -0.50
+        lp[4, blank] = -4.0
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        return jnp.asarray(lp)
+
+    def test_beam_pseudo_labels_differ_from_greedy(self, model_and_vars):
+        model, _ = model_and_vars
+        adapter = _BiasedLMAdapter(CFG.n_classes, favored=3)
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor,
+            tta_cfg(lm_tta_beams=3),
+            lm_adapter=adapter,
+            lm_beam_kwargs={"alpha": 2.0, "beta": 0.0,
+                            "top_am_threshold": -20.0},
+        )
+        greedy_engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor, tta_cfg()
+        )
+        lp = self._ambiguous_lp()
+        T = lp.shape[0]
+        beam_labels, beam_len = jax.jit(
+            lambda l: engine._pseudo_labels(l, jnp.asarray(T), 8)
+        )(lp)
+        g_labels, g_len = jax.jit(
+            lambda l: greedy_engine._pseudo_labels(l, jnp.asarray(T), 8)
+        )(lp)
+        assert int(g_len) == 1 and int(g_labels[0]) == 2  # greedy: AM winner
+        assert int(beam_len) == 1 and int(beam_labels[0]) == 3  # LM flipped it
+
+    def test_engine_runs_with_lm_pseudo_labels(self, model_and_vars):
+        model, variables = model_and_vars
+        adapter = _BiasedLMAdapter(CFG.n_classes, favored=3)
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor,
+            tta_cfg(lm_tta_beams=2),
+            lm_adapter=adapter,
+        )
+        out = engine(variables, make_spec(150), return_params=True)
+        assert np.isfinite(out.numpy_logits()).all()
+        delta = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            variables["params"], out.params)))
+        assert delta > 0
+
+
+class TestRepeats:
+    def test_distinct_rng_per_repeat_changes_output(self, model_and_vars):
+        """evals/run.py threads PRNGKey(seed*1000 + repeat): with stochastic
+        augmentation, repeats must NOT be bit-identical (lcasr/run.py:76)."""
+        model, variables = model_and_vars
+        spec = make_spec(200)
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor, tta_cfg(epochs=1)
+        )
+        o1 = engine(variables, spec, rng=jax.random.PRNGKey(0),
+                    shuffle_rng=np.random.default_rng(0))
+        o2 = engine(variables, spec, rng=jax.random.PRNGKey(1),
+                    shuffle_rng=np.random.default_rng(1))
+        assert np.abs(o1.numpy_logits() - o2.numpy_logits()).max() > 0
