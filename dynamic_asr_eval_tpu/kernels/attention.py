@@ -7,14 +7,50 @@ Pallas TPU flash-attention kernels (fused online-softmax forward AND
 backward — no [B, H, T, T] logit materialization in HBM), with padding
 expressed as segment ids so padded frames never attend to valid ones.
 
-Falls back to the XLA einsum implementation when the kernel is unavailable
-(e.g. CPU tests) or shapes are unsupported.
+Fallback policy: the XLA einsum implementation is used when the Pallas
+kernel is unavailable (e.g. CPU tests) or rejects the shapes — but never
+SILENTLY: the first fallback per process prints a warning naming the cause,
+and ``DAE_STRICT_FLASH_ATTENTION=1`` turns any fallback into an error so a
+kernel regression on TPU cannot hide behind the slower path.
 """
 
 from __future__ import annotations
 
+import os
+import warnings
+
 import jax
 import jax.numpy as jnp
+
+_warned = False
+
+
+def _xla_attention(q, k, v, mask):
+    D = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
+    attn = jax.nn.softmax(logits + bias, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", attn, v)
+
+
+def _note_fallback(exc: Exception):
+    global _warned
+    if os.environ.get("DAE_STRICT_FLASH_ATTENTION"):
+        raise RuntimeError(
+            "Pallas flash attention failed and DAE_STRICT_FLASH_ATTENTION is "
+            "set — refusing the silent XLA fallback"
+        ) from exc
+    if not _warned:
+        _warned = True
+        msg = (
+            f"Pallas flash attention unavailable ({type(exc).__name__}: {exc}); "
+            f"falling back to XLA attention.  Set "
+            f"DAE_STRICT_FLASH_ATTENTION=1 to make this an error."
+        )
+        print(f"WARNING: {msg}")
+        warnings.warn(msg, stacklevel=3)
 
 
 def flash_attention(q, k, v, mask):
@@ -37,10 +73,6 @@ def flash_attention(q, k, v, mask):
             sm_scale=1.0 / (D ** 0.5),
         )
         return jnp.swapaxes(out, 1, 2).astype(q.dtype)
-    except Exception:
-        scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
-        logits = jnp.einsum("bthd,bshd->bhts", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
-        attn = jax.nn.softmax(logits + bias, axis=-1).astype(q.dtype)
-        return jnp.einsum("bhts,bshd->bthd", attn, v)
+    except Exception as exc:
+        _note_fallback(exc)
+        return _xla_attention(q, k, v, mask)

@@ -121,23 +121,21 @@ class NGramLM:
         carry = (new_lo < lo).astype(jnp.uint32)
         return hi + carry, new_lo
 
-    def score_next(self, context_tokens: jnp.ndarray, context_lens: jnp.ndarray):
-        """Next-token log-probs for every vocab id.
-
-        context_tokens [B, order-1] (left-padded with -1), context_lens [B].
-        Returns [B, V] natural-log probabilities with Katz backoff.
-        """
-        B = context_tokens.shape[0]
-        V = self.vocab_size
-        vocab = jnp.arange(V, dtype=jnp.int32)
+    def score_candidates(self, context_tokens: jnp.ndarray,
+                         context_lens: jnp.ndarray, cand: jnp.ndarray):
+        """Log-probs of candidate next tokens ``cand [B, C]`` given per-row
+        contexts.  Katz backoff across orders; returns [B, C] natural log.
+        ``score_next`` is the ``C == vocab_size`` case; the word-fusion
+        adapter uses ``C == 1`` point queries (one word per beam)."""
+        B, C = cand.shape
+        cand = cand.astype(jnp.int32)
 
         # start from unigram
-        h0_hi = jnp.full((V,), jnp.uint32(int(_INC) >> 32))
-        h0_lo = jnp.full((V,), jnp.uint32(int(_INC) & 0xFFFFFFFF))
-        uh_hi, uh_lo = self._roll_hash(h0_hi, h0_lo, vocab)
+        h0_hi = jnp.full((B, C), jnp.uint32(int(_INC) >> 32))
+        h0_lo = jnp.full((B, C), jnp.uint32(int(_INC) & 0xFFFFFFFF))
+        uh_hi, uh_lo = self._roll_hash(h0_hi, h0_lo, cand)
         found, lp, _ = self._lookup(1, uh_hi, uh_lo)
-        scores = jnp.where(found, lp, self.unk_logp)  # [V]
-        scores = jnp.broadcast_to(scores, (B, V))
+        scores = jnp.where(found, lp, self.unk_logp)  # [B, C]
 
         # iteratively refine with higher orders
         for k in range(2, self.order + 1):
@@ -154,33 +152,35 @@ class NGramLM:
             # backoff weight of the context (stored in order k-1 table)
             ctx_found, _, ctx_bo = self._lookup(k - 1, ch_hi, ch_lo)
             bo = jnp.where(ctx_found, ctx_bo, 0.0)  # [B]
-            # full k-gram hash for each vocab token
+            # full k-gram hash for each candidate token
             fh_hi, fh_lo = self._roll_hash(
-                ch_hi[:, None] + jnp.zeros((1, V), jnp.uint32),
-                ch_lo[:, None] + jnp.zeros((1, V), jnp.uint32),
-                jnp.broadcast_to(vocab[None], (B, V)).astype(jnp.int32),
+                jnp.broadcast_to(ch_hi[:, None], (B, C)),
+                jnp.broadcast_to(ch_lo[:, None], (B, C)),
+                cand,
             )
             kfound, klp, _ = self._lookup(k, fh_hi, fh_lo)
             upd = jnp.where(kfound, klp, scores + bo[:, None])
             scores = jnp.where(have_ctx[:, None], upd, scores)
         return scores
 
+    def score_next(self, context_tokens: jnp.ndarray, context_lens: jnp.ndarray):
+        """Next-token log-probs for every vocab id.
 
-def load_arpa(
-    path: str,
-    token_to_id: Dict[str, int],
-    vocab_size: int,
-    max_order: Optional[int] = None,
-) -> NGramLM:
-    """Parse an ARPA file (optionally .gz) into an :class:`NGramLM`.
+        context_tokens [B, order-1] (left-padded with -1), context_lens [B].
+        Returns [B, V] natural-log probabilities with Katz backoff.
+        """
+        B = context_tokens.shape[0]
+        vocab = jnp.broadcast_to(
+            jnp.arange(self.vocab_size, dtype=jnp.int32)[None], (B, self.vocab_size)
+        )
+        return self.score_candidates(context_tokens, context_lens, vocab)
 
-    Log10 values are converted to natural log; n-grams containing tokens not
-    in ``token_to_id`` are dropped.  ``<s>``/``</s>``/``<unk>`` map to ids
-    only if present in the mapping, else are skipped.
-    """
+
+def _iter_arpa(path: str, max_order: Optional[int] = None):
+    """Yield ``(order, logp_log10, tokens, backoff_log10)`` rows of an ARPA
+    file (optionally .gz).  Unigrams are guaranteed to come before higher
+    orders by the ARPA format."""
     opener = gzip.open if path.endswith(".gz") else open
-    tables: Dict[int, List[Tuple[int, float, float]]] = {}
-    order = 0
     cur = None
     with opener(path, "rt", encoding="utf-8", errors="replace") as f:
         for line in f:
@@ -191,9 +191,6 @@ def load_arpa(
                 cur = int(line[1:].split("-")[0])
                 if max_order and cur > max_order:
                     cur = None
-                    continue
-                order = max(order, cur)
-                tables.setdefault(cur, [])
                 continue
             if line.startswith("\\") or line.startswith("ngram ") or cur is None:
                 if line == "\\end\\":
@@ -211,11 +208,10 @@ def load_arpa(
                 logp = float(parts[0])
                 toks = parts[1].split(" ")
                 bo = float(parts[2]) if len(parts) > 2 else 0.0
-            ids = [token_to_id.get(t) for t in toks]
-            if any(i is None for i in ids):
-                continue
-            tables[cur].append((_hash_ctx(ids), logp * LOG10, bo * LOG10))
+            yield cur, logp, toks, bo
 
+
+def _tables_to_numpy(tables: Dict[int, List[Tuple[int, float, float]]]):
     np_tables = {}
     for k, rows in tables.items():
         if not rows:
@@ -224,4 +220,74 @@ def load_arpa(
         logp = np.array([r[1] for r in rows], dtype=np.float32)
         bo = np.array([r[2] for r in rows], dtype=np.float32)
         np_tables[k] = (keys, logp, bo)
-    return NGramLM(order, np_tables, vocab_size)
+    return np_tables
+
+
+def load_arpa(
+    path: str,
+    token_to_id: Dict[str, int],
+    vocab_size: int,
+    max_order: Optional[int] = None,
+    warn_drop_fraction: float = 0.2,
+) -> NGramLM:
+    """Parse an ARPA file (optionally .gz) into an :class:`NGramLM` indexed
+    by TOKENIZER ids.
+
+    Log10 values are converted to natural log; n-grams containing tokens not
+    in ``token_to_id`` are dropped.  ``<s>``/``</s>``/``<unk>`` map to ids
+    only if present in the mapping, else are skipped.
+
+    If more than ``warn_drop_fraction`` of the n-grams are dropped the ARPA
+    vocabulary does not match the tokenizer — almost always a WORD-level LM
+    (e.g. the reference's ``4gram_big.arpa.gz``) loaded against a char or
+    subword vocab, where fusion silently degrades to a no-op.  Use
+    :func:`load_word_arpa` + ``WordNGramAdapter`` for those.
+    """
+    tables: Dict[int, List[Tuple[int, float, float]]] = {}
+    order = 0
+    total = kept = 0
+    for cur, logp, toks, bo in _iter_arpa(path, max_order):
+        order = max(order, cur)
+        tables.setdefault(cur, [])
+        total += 1
+        ids = [token_to_id.get(t) for t in toks]
+        if any(i is None for i in ids):
+            continue
+        kept += 1
+        tables[cur].append((_hash_ctx(ids), logp * LOG10, bo * LOG10))
+
+    if total and (total - kept) / total > warn_drop_fraction:
+        import warnings
+
+        msg = (
+            f"load_arpa: dropped {total - kept}/{total} n-grams "
+            f"({100.0 * (total - kept) / total:.1f}%) because their tokens are "
+            f"not in the tokenizer vocab — '{path}' looks like a WORD-level "
+            f"LM; token-level fusion will be a near-no-op.  Use "
+            f"lm.word_fusion.load_word_arpa + WordNGramAdapter instead."
+        )
+        print(f"WARNING: {msg}")
+        warnings.warn(msg, stacklevel=2)
+    return NGramLM(order, _tables_to_numpy(tables), vocab_size)
+
+
+def load_word_arpa(
+    path: str,
+    max_order: Optional[int] = None,
+) -> Tuple[NGramLM, Dict[str, int]]:
+    """Parse a WORD-level ARPA into an :class:`NGramLM` over WORD ids plus
+    the word→id mapping (ids assigned from the unigram section, which the
+    ARPA format guarantees to precede higher orders)."""
+    word_to_id: Dict[str, int] = {}
+    tables: Dict[int, List[Tuple[int, float, float]]] = {}
+    order = 0
+    for cur, logp, toks, bo in _iter_arpa(path, max_order):
+        order = max(order, cur)
+        tables.setdefault(cur, [])
+        if cur == 1:
+            word_to_id.setdefault(toks[0], len(word_to_id))
+        ids = [word_to_id.get(t) for t in toks]
+        if any(i is None for i in ids):
+            continue
+        tables[cur].append((_hash_ctx(ids), logp * LOG10, bo * LOG10))
+    return NGramLM(order, _tables_to_numpy(tables), len(word_to_id)), word_to_id

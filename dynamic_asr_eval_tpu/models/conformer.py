@@ -54,7 +54,13 @@ class ConformerConfig:
     use_rotary: bool = True
     rotary_base_freq: float = 1_500_000.0
     rotary_interpolation_factor: float = 1.0
-    default_norm: str = "layer_norm"  # or "batch_renorm"
+    # position encoding: None derives from use_rotary; "rel_pos" selects
+    # Transformer-XL relative attention (NeMo conformer family,
+    # nvidia_ctc/lib.py:12-14 — pos_bias_u/v + sinusoidal rel embeddings)
+    position_encoding: Optional[str] = None  # "rotary" | "rel_pos" | "none"
+    input_xscale: bool = False  # NeMo multiplies post-subsampling by √d_model
+    bias_in_attn: bool = False  # NeMo q/k/v/out projections carry biases
+    default_norm: str = "layer_norm"  # or "batch_renorm" / "batch_norm"
     bias_in_ff: bool = False
     checkpoint_every_n_layers: int = 0
     dropout_ff: float = 0.0
@@ -62,6 +68,12 @@ class ConformerConfig:
     dropout_conv: float = 0.0
     compute_dtype: Any = jnp.bfloat16
     attention_impl: str = "xla"  # "xla" | "pallas_flash" (kernels.attention)
+
+    @property
+    def pos_encoding(self) -> str:
+        if self.position_encoding is not None:
+            return self.position_encoding
+        return "rotary" if self.use_rotary else "none"
 
     @property
     def blank_id(self) -> int:
@@ -107,6 +119,39 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndar
     return jnp.concatenate(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
     ).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Relative position encoding (Transformer-XL / NeMo conformer)
+# ---------------------------------------------------------------------------
+
+
+def relpos_encoding(d_model: int, T: int) -> jnp.ndarray:
+    """Sinusoidal embeddings for relative positions T-1 … -(T-1) — index 0
+    is the most distant PAST key (NeMo RelPositionalEncoding layout).
+    Returns [2T-1, d_model] float32."""
+    import math
+
+    pos = jnp.arange(T - 1, -T, -1, dtype=jnp.float32)  # [2T-1]
+    div = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-math.log(10000.0) / d_model)
+    )
+    ang = pos[:, None] * div[None, :]
+    pe = jnp.zeros((2 * T - 1, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(ang))
+    pe = pe.at[:, 1::2].set(jnp.cos(ang))
+    return pe
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """Transformer-XL relative shift: x [B, H, T, 2T-1] (last axis indexed by
+    pe position k ↔ relative distance T-1-k) → [B, H, T, T] where entry
+    (i, j) picks k = j - i + T - 1 (relative distance i - j).  Implemented
+    with the pad-reshape trick — no gather, so no [B,H,T,T] index tensor."""
+    B, H, T, n = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B, H, T, 2T]
+    x = x.reshape(B, H, 2 * T, T)[:, :, 1:, :]  # [B, H, 2T-1, T]
+    return x.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
 
 
 # ---------------------------------------------------------------------------
@@ -173,7 +218,12 @@ class Norm(nn.Module):
     def __call__(self, x, mask=None, use_running_average: bool = True):
         if self.kind == "layer_norm":
             return nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
-        if self.kind == "batch_renorm":
+        if self.kind in ("batch_renorm", "batch_norm"):
+            # "batch_norm" (NeMo conv modules) shares the BatchRenorm module:
+            # in eval mode (running stats, the only mode TTA uses —
+            # lcasr/lib.py:527) the two are identical, and the nvidia_ctc
+            # backend's BN→BRN surgery (nvidia_ctc/lib.py:89-102) is the
+            # intended train-mode behavior anyway
             return BatchRenorm(self.features)(x, mask, use_running_average)
         raise ValueError(f"unknown norm kind {self.kind}")
 
@@ -311,18 +361,43 @@ class MHSA(nn.Module):
     def __call__(self, x, mask, cos, sin, deterministic: bool = True):
         cfg = self.config
         H, D = cfg.n_heads, cfg.head_dim
+        pos = cfg.pos_encoding
         h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
         qkv = nn.Dense(
-            3 * H * D, use_bias=False, dtype=cfg.compute_dtype,
+            3 * H * D, use_bias=cfg.bias_in_attn, dtype=cfg.compute_dtype,
             param_dtype=jnp.float32, name="qkv",
         )(h)
         B, T, _ = qkv.shape
         q, k, v = jnp.split(qkv.reshape(B, T, 3, H, D), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # [B, T, H, D]
-        if cfg.use_rotary:
+        if pos == "rotary":
             q = apply_rotary(q, cos, sin)
             k = apply_rotary(k, cos, sin)
-        if cfg.attention_impl == "pallas_flash":
+        if pos == "rel_pos":
+            # Transformer-XL relative attention (NeMo RelPositionMultiHead-
+            # Attention): content score (q+u)·k plus rel-shifted position
+            # score (q+v)·P, both scaled by 1/√D
+            u = self.param("pos_bias_u", nn.initializers.zeros, (H, D))
+            vb = self.param("pos_bias_v", nn.initializers.zeros, (H, D))
+            pe = relpos_encoding(cfg.d_model, T)  # [2T-1, d_model]
+            p = nn.Dense(
+                H * D, use_bias=False, dtype=cfg.compute_dtype,
+                param_dtype=jnp.float32, name="linear_pos",
+            )(pe.astype(cfg.compute_dtype)).reshape(2 * T - 1, H, D)
+            qf = q.astype(jnp.float32)
+            ac = jnp.einsum(
+                "bthd,bshd->bhts", qf + u[None, None], k.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            bd = jnp.einsum(
+                "bthd,khd->bhtk", qf + vb[None, None], p.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            logits = (ac + rel_shift(bd)) / jnp.sqrt(D)
+            bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
+            attn = jax.nn.softmax(logits + bias, axis=-1).astype(cfg.compute_dtype)
+            out = jnp.einsum("bhts,bshd->bthd", attn, v)
+        elif cfg.attention_impl == "pallas_flash":
             from dynamic_asr_eval_tpu.kernels.attention import flash_attention
 
             out = flash_attention(q, k, v, mask)
@@ -432,6 +507,8 @@ class SCConformer(nn.Module):
         x = x.astype(cfg.compute_dtype)
 
         h = DWStridingSubsampling(cfg, name="subsampling")(x)
+        if cfg.input_xscale:  # NeMo scales the embedding by √d_model
+            h = h * jnp.asarray(jnp.sqrt(cfg.d_model), h.dtype)
         T_ds = h.shape[1]
         ds_length = jnp.ceil(length / cfg.subsampling_factor).astype(jnp.int32)
         mask = lengths_to_mask(ds_length, T_ds)

@@ -18,17 +18,22 @@ import numpy as np
 
 class CTCDecoder:
     def __init__(self, tokenizer, ngram=None, alpha: float = 0.45,
-                 beta: float = 1.53, exclude_token_zero: bool = False):
+                 beta: float = 1.53, exclude_token_zero: bool = False,
+                 word_adapter=None):
         self.tokenizer = tokenizer
         self.ngram = ngram
-        self.alpha = alpha if ngram is not None else 0.0
-        self.beta = beta if ngram is not None else 0.0
+        self.word_adapter = word_adapter
+        have_lm = ngram is not None or word_adapter is not None
+        self.alpha = alpha if have_lm else 0.0
+        self.beta = beta if have_lm else 0.0
         self.exclude_token_zero = exclude_token_zero
 
     def _adapter(self):
         from dynamic_asr_eval_tpu.ops.beam_search import NGramAdapter, UniformLMAdapter
 
         V = self.tokenizer.vocab_size()
+        if self.word_adapter is not None:
+            return self.word_adapter
         if self.ngram is None:
             return UniformLMAdapter(V)
         return NGramAdapter(self.ngram)
@@ -39,11 +44,14 @@ class CTCDecoder:
         from dynamic_asr_eval_tpu.ops.beam_search import beam_search_device
         from dynamic_asr_eval_tpu.ops.ctc import greedy_decode
 
-        if beam_width <= 1 and self.ngram is None:
+        if beam_width <= 1 and self.ngram is None and self.word_adapter is None:
             return greedy_decode(logits, self.tokenizer)
+        # word-level fusion: the word-insertion bonus (pyctcdecode beta) is
+        # applied per COMPLETED WORD inside the adapter, not per token
+        beta = 0.0 if self.word_adapter is not None else self.beta
         toks, lens, _ = beam_search_device(
             jnp.asarray(logits), self._adapter(), beam_width=max(beam_width, 1),
-            alpha=self.alpha, beta=self.beta,
+            alpha=self.alpha, beta=beta,
             exclude_token_zero=self.exclude_token_zero,
         )
         ids = [int(x) for x in np.asarray(toks[0])[: int(lens[0])]]
@@ -51,18 +59,47 @@ class CTCDecoder:
 
 
 def build_ctcdecoder(tokenizer, kenlm_model_path: Optional[str] = None,
-                     alpha: float = 0.45, beta: float = 1.53) -> CTCDecoder:
+                     alpha: float = 0.45, beta: float = 1.53,
+                     lm_level: str = "auto") -> CTCDecoder:
     """Reference-call-shape constructor; loads an ARPA (optionally .gz) into
-    device tables when given."""
-    ngram = None
-    if kenlm_model_path:
-        from dynamic_asr_eval_tpu.lm.ngram import load_arpa
+    device tables when given.
 
-        token_to_id = {
-            tokenizer.id_to_piece(i): i for i in range(tokenizer.vocab_size())
-        }
+    ``lm_level``: ``"token"`` fuses the ARPA per AM token (its vocab must be
+    tokenizer pieces); ``"word"`` builds word-boundary KenLM semantics
+    (reference ``4gram_big.arpa.gz`` against a char/subword AM vocab,
+    ``wav2vec2/tedlium/run.py:127-133``); ``"auto"`` picks word-level when
+    fewer than half the ARPA's unigrams are tokenizer pieces."""
+    if not kenlm_model_path:
+        return CTCDecoder(tokenizer, None, alpha, beta)
+
+    from dynamic_asr_eval_tpu.lm.ngram import load_arpa, load_word_arpa
+
+    token_to_id = {
+        tokenizer.id_to_piece(i): i for i in range(tokenizer.vocab_size())
+    }
+    if lm_level == "token":
         ngram = load_arpa(kenlm_model_path, token_to_id, tokenizer.vocab_size())
-    return CTCDecoder(tokenizer, ngram, alpha, beta)
+        return CTCDecoder(tokenizer, ngram, alpha, beta)
+
+    word_lm, word_to_id = load_word_arpa(kenlm_model_path)
+    if lm_level == "auto":
+        specials = {"<s>", "</s>", "<unk>"}
+        real_words = [w for w in word_to_id if w not in specials]
+        overlap = sum(1 for w in real_words if w in token_to_id)
+        if real_words and overlap / len(real_words) >= 0.5:
+            # the ARPA vocab IS the tokenizer vocab → token-level fusion
+            ngram = load_arpa(
+                kenlm_model_path, token_to_id, tokenizer.vocab_size()
+            )
+            return CTCDecoder(tokenizer, ngram, alpha, beta)
+
+    from dynamic_asr_eval_tpu.lm.word_fusion import WordNGramAdapter
+
+    # pyctcdecode's beta is per word; the beam multiplies lm_lps by alpha,
+    # so the adapter's bonus is beta/alpha to come out as +beta per word
+    bonus = beta / alpha if alpha else 0.0
+    adapter = WordNGramAdapter(word_lm, word_to_id, tokenizer, word_bonus=bonus)
+    return CTCDecoder(tokenizer, None, alpha, beta, word_adapter=adapter)
 
 
 def decode_beams_lm(
