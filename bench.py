@@ -1,16 +1,25 @@
-"""Benchmark: Earnings-22-scale online NSTI dynamic evaluation.
+"""Benchmark: Earnings-22-scale adaptation + decode on one TPU chip.
 
-Mirrors the reference's headline number (``launch_scripts/timeit_earnings22.sh``):
-online dynamic eval (1 epoch, seq 16384 / overlap 14336) on a 4159.9 s
-recording took ~82.9 s on an A4500-class GPU → RTF 0.023 ≈ 43.4× real time.
+Covers all timed rows of BASELINE.md (reference
+``launch_scripts/timeit_earnings22.sh``): a 4159.9 s recording, seq 16384 /
+overlap 14336:
 
-This bench runs the same protocol on the flagship full-size conformer
-(lcasr160rb1-class, ~90 M params) with a synthetic spectrogram of the same
-length, on one TPU chip.  Compile is excluded via one warmup run (the
-reference's eager-PyTorch number has no compile either).
+1. **NSTI online dynamic eval** (1 epoch) — reference 82.9 s on an
+   A4500-class GPU → RTFx 43.4.  Primary metric; an MFU estimate (analytic
+   matmul FLOPs vs chip bf16 peak) rides along.
+2. **AWMC** — reference 403.6 s → RTFx 10.3.
+3. **LM-fused stitched beam decode** — transformer-LM shallow fusion
+   (beam 20, α 0.45 β 1.53, blank-run collapse) over the full stitched
+   posterior matrix.  The reference publishes no wall-clock for this; we
+   report vs the north-star 10× real-time (BASELINE.md).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": RTFx, "unit": "x_realtime", "vs_baseline": RTFx/43.4}
+Compile is excluded via one warmup run per section (the reference's
+eager-PyTorch numbers have no compile either).
+
+Prints ONE JSON line: the primary metric at the top level plus
+``extra_metrics`` with the remaining rows:
+  {"metric": "earnings22_nsti_online_rtfx", "value": N, "unit": "x_realtime",
+   "vs_baseline": N/43.4, "extra_metrics": [...]}
 """
 
 from __future__ import annotations
@@ -21,6 +30,28 @@ import sys
 import time
 
 import numpy as np
+
+
+def _make_ctc_like_logits(total_ds: int, vocab_plus_blank: int, seed: int = 0):
+    """Synthetic stitched CTC posteriors with realistic blank statistics.
+
+    Real conformer-CTC output at 12.5 Hz is blank-dominated (~70-85% of
+    frames) with sparse token spikes — exactly what blank-run collapse and
+    beam pruning exploit.  Random-init model output is near-uniform and
+    would make decode timing unrepresentative, so the decode bench uses this
+    shaped distribution instead (token every ~4th frame, Zipf token ids,
+    blank log-prob ≈ log 0.95 elsewhere)."""
+    rng = np.random.default_rng(seed)
+    V = vocab_plus_blank - 1
+    lp = np.full((total_ds, vocab_plus_blank), np.log(0.005 / V), np.float32)
+    lp[:, V] = np.log(0.995)  # blank-dominant everywhere...
+    tok_frames = np.arange(0, total_ds, 4)
+    toks = np.minimum((rng.zipf(1.3, size=tok_frames.size) - 1) % (V - 1) + 1, V - 1)
+    lp[tok_frames, V] = np.log(0.05)
+    lp[tok_frames, toks] = np.log(0.9)
+    # renormalize rows to proper log-probs
+    lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
+    return lp
 
 
 def main():
@@ -54,10 +85,14 @@ def main():
     audio_seconds = float(os.environ.get("BENCH_SECONDS", 4159.9 if on_tpu else 40.0))
     frames_per_second = 100.0  # 10 ms hop featurizer
     spec_n = int(audio_seconds * frames_per_second)
+    fast = bool(int(os.environ.get("DAE_BENCH_FAST", "0")))  # primary metric only
 
     from dynamic_asr_eval_tpu.config import SpecAugmentConfig, TTAConfig
     from dynamic_asr_eval_tpu.models import init_conformer
+    from dynamic_asr_eval_tpu.ops.chunk import chunk_starts_and_lengths
+    from dynamic_asr_eval_tpu.perf import device_peak_flops, training_step_flops
     from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
+    from dynamic_asr_eval_tpu.tta.awmc import AWMCEngine
     from __graft_entry__ import _flagship_config
 
     if on_tpu:
@@ -92,32 +127,134 @@ def main():
     )
 
     spec = np.random.default_rng(0).standard_normal((cfg.feat_in, spec_n)).astype(np.float32)
+    n_real = len(chunk_starts_and_lengths(spec_n, seq_len, overlap)[0])
 
-    # warmup: compile the exact shapes
+    # ---- 1. NSTI online dynamic eval (primary) ----------------------------
     t_warm = time.time()
     out = engine(variables, spec, rng=jax.random.PRNGKey(1))
     ids = out.greedy_ids()
-    print(f"bench: warmup (incl. compile) {time.time()-t_warm:.1f}s, "
+    print(f"bench: NSTI warmup (incl. compile) {time.time()-t_warm:.1f}s, "
           f"stitched {out.logits.shape}, {len(ids)} tokens", file=sys.stderr)
 
-    # timed run: adaptation + stitch + on-device greedy decode to host ids —
-    # the full per-recording deliverable (stitched matrix stays on device)
-    t0 = time.time()
-    out = engine(variables, spec, rng=jax.random.PRNGKey(2))
-    ids = out.greedy_ids()
-    elapsed = time.time() - t0
+    # timed runs: adaptation + stitch + on-device greedy decode to host ids —
+    # the full per-recording deliverable (stitched matrix stays on device).
+    # min of 2 derates axon-tunnel jitter (the GPU baseline is local-machine).
+    nsti_elapsed = float("inf")
+    for rep in (2, 3):
+        t0 = time.time()
+        out = engine(variables, spec, rng=jax.random.PRNGKey(rep))
+        ids = out.greedy_ids()
+        nsti_elapsed = min(nsti_elapsed, time.time() - t0)
     assert bool(jnp.isfinite(out.logits).all()), "non-finite stitched logits"
+    total_ds = int(out.logits.shape[0])
 
-    rtfx = audio_seconds / elapsed
-    baseline_rtfx = 43.4  # reference online NSTI, BASELINE.md row 1
+    nsti_rtfx = audio_seconds / nsti_elapsed
+    baseline_nsti_rtfx = 43.4  # reference online NSTI, BASELINE.md row 1
+    print(f"bench: NSTI adapt+stitch {nsti_elapsed:.2f}s for {audio_seconds}s "
+          f"audio → RTFx {nsti_rtfx:.1f}", file=sys.stderr)
+
+    extra = []
+
+    # MFU estimate: analytic matmul FLOPs of the adaptation forwards+backwards
+    # (batch = num_negatives aug + 1 clean per window) vs chip bf16 peak.
+    kind = jax.devices()[0].device_kind
+    flops_total = training_step_flops(cfg, seq_len, batch=1 + tta.num_negatives) * n_real
+    peak = device_peak_flops(kind)
+    achieved = flops_total / nsti_elapsed
+    print(f"bench: NSTI ~{flops_total/1e12:.0f} TFLOP over {n_real} windows → "
+          f"{achieved/1e12:.1f} TFLOP/s on {kind!r}", file=sys.stderr)
+    if peak:
+        extra.append({
+            "metric": "earnings22_nsti_mfu",
+            "value": round(100.0 * achieved / peak, 1),
+            "unit": "percent_of_bf16_peak",
+            "vs_baseline": None,  # reference publishes no GPU MFU
+        })
+
+    if not fast:
+        # ---- 2. AWMC -------------------------------------------------------
+        awmc = AWMCEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+        t_warm = time.time()
+        awmc(variables, spec, rng=jax.random.PRNGKey(1)).logits.block_until_ready()
+        print(f"bench: AWMC warmup {time.time()-t_warm:.1f}s", file=sys.stderr)
+        awmc_elapsed = float("inf")
+        for rep in (2, 3):
+            t0 = time.time()
+            awmc_out = awmc(variables, spec, rng=jax.random.PRNGKey(rep))
+            awmc_ids = awmc_out.greedy_ids()
+            awmc_elapsed = min(awmc_elapsed, time.time() - t0)
+        assert bool(jnp.isfinite(awmc_out.logits).all())
+        awmc_rtfx = audio_seconds / awmc_elapsed
+        baseline_awmc_rtfx = 4159.9 / 403.6  # 10.31, BASELINE.md row 2
+        print(f"bench: AWMC {awmc_elapsed:.2f}s → RTFx {awmc_rtfx:.1f} "
+              f"({len(awmc_ids)} tokens)", file=sys.stderr)
+        extra.append({
+            "metric": "earnings22_awmc_rtfx",
+            "value": round(awmc_rtfx, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(awmc_rtfx / baseline_awmc_rtfx, 3),
+        })
+
+        # ---- 3. LM-fused stitched beam decode ------------------------------
+        # Transformer-LM shallow fusion over the full stitched posterior
+        # matrix (the reference's final decode with `-lm`, lcasr/run.py:37-47).
+        # Weights are random-init at the published shape — decode wall-clock
+        # is weight-independent; blank statistics come from shaped synthetic
+        # posteriors (see _make_ctc_like_logits).
+        from dynamic_asr_eval_tpu.lm.transformer_lm import TransformerLMConfig, init_lm
+        from dynamic_asr_eval_tpu.ops.beam_search import (
+            TransformerLMAdapter, beam_search_segmented, collapse_blank_frames,
+        )
+
+        lm_cfg = TransformerLMConfig(
+            vocab_size=cfg.vocab_size, n_layers=6, d_model=512,
+            max_cache_length=128,
+        )
+        lm_model, lm_vars = init_lm(lm_cfg, jax.random.PRNGKey(3))
+        adapter = TransformerLMAdapter(lm_model, lm_vars, lm_cfg, bos_id=0)
+
+        lp_host = _make_ctc_like_logits(total_ds, cfg.n_classes)
+
+        n_collapsed = collapse_blank_frames(lp_host, threshold=0.99).shape[0]
+
+        def lm_decode(lp_np):
+            lp_c = collapse_blank_frames(lp_np, threshold=0.99)
+            toks, lens, _ = beam_search_segmented(
+                jnp.asarray(lp_c), adapter, beam_width=20,
+                alpha=0.45, beta=1.53, top_am_threshold=-6.0,
+                prune_less_than_val=3.17,
+            )
+            return np.asarray(toks[0])[: int(lens[0])]
+
+        t_warm = time.time()
+        lm_decode(lp_host)
+        print(f"bench: LM-decode warmup {time.time()-t_warm:.1f}s "
+              f"(collapsed {total_ds}→{n_collapsed} frames)",
+              file=sys.stderr)
+        lm_elapsed = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            toks = lm_decode(lp_host)
+            lm_elapsed = min(lm_elapsed, time.time() - t0)
+        lm_rtfx = audio_seconds / lm_elapsed
+        print(f"bench: LM beam-20 stitched decode {lm_elapsed:.2f}s → "
+              f"RTFx {lm_rtfx:.1f} ({toks.size} tokens)", file=sys.stderr)
+        extra.append({
+            "metric": "earnings22_lm_beam20_decode_rtfx",
+            "value": round(lm_rtfx, 2),
+            "unit": "x_realtime",
+            # no reference wall-clock exists; compare to the north-star
+            # 10x-real-time bar (BASELINE.md)
+            "vs_baseline": round(lm_rtfx / 10.0, 3),
+        })
+
     result = {
         "metric": "earnings22_nsti_online_rtfx",
-        "value": round(rtfx, 2),
+        "value": round(nsti_rtfx, 2),
         "unit": "x_realtime",
-        "vs_baseline": round(rtfx / baseline_rtfx, 3),
+        "vs_baseline": round(nsti_rtfx / baseline_nsti_rtfx, 3),
+        "extra_metrics": extra,
     }
-    print(f"bench: adapt+stitch {elapsed:.2f}s for {audio_seconds}s audio "
-          f"→ RTFx {rtfx:.1f}", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -66,6 +66,13 @@ def build_engine(args, model, cfg: ConformerConfig, engine_kind: str = "dynamic_
     tta = TTAConfig.from_args(args)
     cls = {"dynamic_eval": DynamicEvalEngine, "awmc": AWMCEngine}[engine_kind]
     kwargs = {}
+    if getattr(args, "dp", False):
+        # data-parallel windowed inference over the device mesh
+        # (SURVEY §2.3 row 1); tp>1 additionally shards the params — callers
+        # who want TP must also pass tp-sharded variables (parallel.shard_params)
+        from dynamic_asr_eval_tpu.parallel import make_mesh
+
+        kwargs["mesh"] = make_mesh(tp=int(getattr(args, "tp", 1) or 1))
     if lm_adapter is not None and engine_kind == "dynamic_eval" and tta.lm_tta_beams > 0:
         # LM-fused pseudo-labels (lm_tta_beams, lcasr/lib.py:515) — NSTI only,
         # matching the reference (AWMC/consistency always use greedy)

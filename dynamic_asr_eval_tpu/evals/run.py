@@ -98,6 +98,10 @@ def cli(argv=None):
     parser.add_argument("-r", "--repeats", type=int, default=1)
     parser.add_argument("-s", "--save_path", type=str, default="")
     parser.add_argument("--awmc", action="store_true", help="use the AWMC engine")
+    parser.add_argument("--dp", action="store_true",
+                        help="data-parallel windowed inference over all devices")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree of the device mesh (with --dp)")
     parser.add_argument("--tokenizer", type=str, default="")
     parser.add_argument("--quiet", action="store_true")
     args = apply_args(parser, argv)

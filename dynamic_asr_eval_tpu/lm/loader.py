@@ -127,7 +127,9 @@ def load_beamsearch(
             from dynamic_asr_eval_tpu.ops.beam_search import collapse_blank_frames
 
             lp = collapse_blank_frames(lp, threshold=blank_collapse_threshold)
-        toks, lens, _ = beam_search_device(
+        from dynamic_asr_eval_tpu.ops.beam_search import beam_search_segmented
+
+        toks, lens, _ = beam_search_segmented(
             jnp.asarray(lp), adapter,
             beam_width=beam_width, alpha=alpha, beta=beta,
             top_am_threshold=top_am_threshold,

@@ -223,12 +223,57 @@ def _tables_to_numpy(tables: Dict[int, List[Tuple[int, float, float]]]):
     return np_tables
 
 
+def _warn_dropped(path: str, total: int, kept: int, warn_drop_fraction: float):
+    if total and (total - kept) / total > warn_drop_fraction:
+        import warnings
+
+        msg = (
+            f"load_arpa: dropped {total - kept}/{total} n-grams "
+            f"({100.0 * (total - kept) / total:.1f}%) because their tokens are "
+            f"not in the tokenizer vocab — '{path}' looks like a WORD-level "
+            f"LM; token-level fusion will be a near-no-op.  Use "
+            f"lm.word_fusion.load_word_arpa + WordNGramAdapter instead."
+        )
+        print(f"WARNING: {msg}")
+        warnings.warn(msg, stacklevel=2)
+
+
+def _load_arpa_native(
+    path: str,
+    token_to_id: Dict[str, int],
+    vocab_size: int,
+    max_order: Optional[int],
+    warn_drop_fraction: float,
+) -> NGramLM:
+    """Native-reader fast path: C++ parse + vectorized numpy hashing."""
+    from dynamic_asr_eval_tpu.lm import arpa_native
+
+    vocab, raw = arpa_native.parse_arpa(path, max_order)
+    id_map = np.array([token_to_id.get(w, -1) for w in vocab], np.int64)
+    np_tables: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    order = 0
+    total = kept = 0
+    for k, (ids, lp, bo) in raw.items():
+        order = max(order, k)
+        total += ids.shape[0]
+        mapped = id_map[ids] if len(vocab) else np.empty_like(ids, np.int64)
+        valid = (mapped >= 0).all(axis=1)
+        kept += int(valid.sum())
+        if not valid.any():
+            continue
+        keys = arpa_native.hash_rows(mapped[valid])
+        np_tables[k] = (keys, lp[valid] * LOG10, bo[valid] * LOG10)
+    _warn_dropped(path, total, kept, warn_drop_fraction)
+    return NGramLM(order, np_tables, vocab_size)
+
+
 def load_arpa(
     path: str,
     token_to_id: Dict[str, int],
     vocab_size: int,
     max_order: Optional[int] = None,
     warn_drop_fraction: float = 0.2,
+    use_native: Optional[bool] = None,
 ) -> NGramLM:
     """Parse an ARPA file (optionally .gz) into an :class:`NGramLM` indexed
     by TOKENIZER ids.
@@ -242,7 +287,23 @@ def load_arpa(
     (e.g. the reference's ``4gram_big.arpa.gz``) loaded against a char or
     subword vocab, where fusion silently degrades to a no-op.  Use
     :func:`load_word_arpa` + ``WordNGramAdapter`` for those.
+
+    ``use_native`` selects the C++ reader (``native/arpa_reader.cc``, the
+    KenLM-loader equivalent); default auto-detects and falls back to the
+    pure-Python parser.
     """
+    from dynamic_asr_eval_tpu.lm import arpa_native
+
+    if use_native is None:
+        use_native = arpa_native.available()
+    if use_native:
+        try:
+            return _load_arpa_native(
+                path, token_to_id, vocab_size, max_order, warn_drop_fraction
+            )
+        except RuntimeError:
+            pass  # fall back to the Python parser
+
     tables: Dict[int, List[Tuple[int, float, float]]] = {}
     order = 0
     total = kept = 0
@@ -256,28 +317,28 @@ def load_arpa(
         kept += 1
         tables[cur].append((_hash_ctx(ids), logp * LOG10, bo * LOG10))
 
-    if total and (total - kept) / total > warn_drop_fraction:
-        import warnings
-
-        msg = (
-            f"load_arpa: dropped {total - kept}/{total} n-grams "
-            f"({100.0 * (total - kept) / total:.1f}%) because their tokens are "
-            f"not in the tokenizer vocab — '{path}' looks like a WORD-level "
-            f"LM; token-level fusion will be a near-no-op.  Use "
-            f"lm.word_fusion.load_word_arpa + WordNGramAdapter instead."
-        )
-        print(f"WARNING: {msg}")
-        warnings.warn(msg, stacklevel=2)
+    _warn_dropped(path, total, kept, warn_drop_fraction)
     return NGramLM(order, _tables_to_numpy(tables), vocab_size)
 
 
 def load_word_arpa(
     path: str,
     max_order: Optional[int] = None,
+    use_native: Optional[bool] = None,
 ) -> Tuple[NGramLM, Dict[str, int]]:
     """Parse a WORD-level ARPA into an :class:`NGramLM` over WORD ids plus
     the word→id mapping (ids assigned from the unigram section, which the
     ARPA format guarantees to precede higher orders)."""
+    from dynamic_asr_eval_tpu.lm import arpa_native
+
+    if use_native is None:
+        use_native = arpa_native.available()
+    if use_native:
+        try:
+            return _load_word_arpa_native(path, max_order)
+        except RuntimeError:
+            pass  # fall back to the Python parser
+
     word_to_id: Dict[str, int] = {}
     tables: Dict[int, List[Tuple[int, float, float]]] = {}
     order = 0
@@ -291,3 +352,35 @@ def load_word_arpa(
             continue
         tables[cur].append((_hash_ctx(ids), logp * LOG10, bo * LOG10))
     return NGramLM(order, _tables_to_numpy(tables), len(word_to_id)), word_to_id
+
+
+def _load_word_arpa_native(
+    path: str, max_order: Optional[int]
+) -> Tuple[NGramLM, Dict[str, int]]:
+    """Native-reader fast path for :func:`load_word_arpa`.  Word ids are
+    assigned by unigram-section order (exactly the Python loader's scheme);
+    higher-order rows containing words absent from the unigrams are dropped,
+    matching the fallback's semantics."""
+    from dynamic_asr_eval_tpu.lm import arpa_native
+
+    vocab, raw = arpa_native.parse_arpa(path, max_order)
+    if 1 not in raw:
+        return NGramLM(0, {}, 0), {}
+    uni_ids = raw[1][0][:, 0]  # native intern ids of the unigram words
+    id_map = np.full((len(vocab),), -1, np.int64)
+    word_to_id: Dict[str, int] = {}
+    for rank, nid in enumerate(uni_ids):
+        if id_map[nid] == -1:  # first unigram occurrence wins
+            id_map[nid] = len(word_to_id)
+            word_to_id[vocab[nid]] = id_map[nid]
+    np_tables: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    order = 0
+    for k, (ids, lp, bo) in raw.items():
+        order = max(order, k)
+        mapped = id_map[ids]
+        valid = (mapped >= 0).all(axis=1)
+        if not valid.any():
+            continue
+        keys = arpa_native.hash_rows(mapped[valid])
+        np_tables[k] = (keys, lp[valid] * LOG10, bo[valid] * LOG10)
+    return NGramLM(order, np_tables, len(word_to_id)), word_to_id

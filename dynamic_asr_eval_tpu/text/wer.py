@@ -9,13 +9,66 @@ divided by the total number of reference words.
 Error counts use the standard Levenshtein alignment with unit costs; when
 multiple alignments tie, substitution is preferred over ins+del (the usual
 NIST/sclite convention).
+
+The alignment DP runs in C (``native/levenshtein.cc``, ctypes-bound, same
+tie-break rules) when the toolchain is available — it sits on hot host
+paths (enc-dec RL rewards score 1−WER per rollout, teacher filters 1−CER
+per chunk; reference ``lcasr/lib.py:1330-1359``,
+``enc_dec_teacher_filters.py``).  Set ``DAE_NO_NATIVE_LEV=1`` to force the
+pure-Python DP.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import ctypes
+import os
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_lev_lib = None
+_lev_checked = False
+
+
+def _native_lev():
+    global _lev_lib, _lev_checked
+    if os.environ.get("DAE_NO_NATIVE_LEV"):
+        return None
+    if not _lev_checked:
+        _lev_checked = True
+        from dynamic_asr_eval_tpu import nativelib
+
+        lib = nativelib.load("levenshtein.cc")
+        if lib is not None:
+            lib.lev_edit_ops.restype = ctypes.c_int64
+            lib.lev_edit_ops.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.lev_edit_ops_batch.restype = None
+            lib.lev_edit_ops_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ]
+        _lev_lib = lib
+    return _lev_lib
+
+
+def _intern(seqs: List[Sequence], table: dict) -> Tuple[np.ndarray, np.ndarray]:
+    """Map token sequences to packed int32 ids + per-sequence lengths."""
+    lens = np.array([len(s) for s in seqs], np.int64)
+    flat = np.empty(int(lens.sum()), np.int32)
+    k = 0
+    for s in seqs:
+        for tok in s:
+            i = table.get(tok)
+            if i is None:
+                i = table[tok] = len(table)
+            flat[k] = i
+            k += 1
+    return flat, lens
 
 
 def _edit_ops(hyp: Sequence, ref: Sequence) -> Tuple[int, int, int]:
@@ -77,16 +130,33 @@ def word_error_rate_detail(
             f"hypotheses ({len(hypotheses)}) and references ({len(references)}) "
             "must have the same length"
         )
-    total_words = 0
-    total_ins = total_del = total_sub = 0
-    for hyp, ref in zip(hypotheses, references):
-        h = list(hyp) if use_cer else hyp.split()
-        r = list(ref) if use_cer else ref.split()
-        total_words += len(r)
-        i, d, s = _edit_ops(h, r)
-        total_ins += i
-        total_del += d
-        total_sub += s
+    hyp_seqs = [list(h) if use_cer else h.split() for h in hypotheses]
+    ref_seqs = [list(r) if use_cer else r.split() for r in references]
+
+    lib = _native_lev()
+    if lib is not None:
+        table: dict = {}
+        hflat, hlens = _intern(hyp_seqs, table)
+        rflat, rlens = _intern(ref_seqs, table)
+        out = np.zeros(4, np.int64)
+        lib.lev_edit_ops_batch(
+            hflat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hlens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rflat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rlens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(hyp_seqs),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        total_ins, total_del, total_sub, total_words = (int(v) for v in out)
+    else:
+        total_words = 0
+        total_ins = total_del = total_sub = 0
+        for h, r in zip(hyp_seqs, ref_seqs):
+            total_words += len(r)
+            i, d, s = _edit_ops(h, r)
+            total_ins += i
+            total_del += d
+            total_sub += s
     if total_words == 0:
         wer = float("inf") if (total_ins + total_del + total_sub) else 0.0
         return wer, 0, float("nan"), float("nan"), float("nan")

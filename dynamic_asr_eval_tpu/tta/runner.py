@@ -124,6 +124,7 @@ class DynamicEvalEngine:
         n_classes=None,
         lm_adapter=None,
         lm_beam_kwargs: Optional[Dict[str, Any]] = None,
+        mesh=None,
     ):
         self.model = model
         self.blank_id = blank_id
@@ -153,6 +154,12 @@ class DynamicEvalEngine:
         # the tokenizer before CTC; we use the beam's token ids directly.
         self.lm_adapter = lm_adapter
         self.lm_beam_kwargs = dict(lm_beam_kwargs or {})
+        # data-parallel inference over windows (SURVEY §2.3 row 1): with a
+        # ('dp','tp') mesh, the no-grad chunked forward shards its window
+        # batch over dp (GSPMD inserts the stitch-accumulator reduction);
+        # the adaptation scan stays sequential by algorithm (online SGD).
+        # Pass tp-sharded variables (parallel.shard_params) for TP on top.
+        self.mesh = mesh
         if optimizer is None:
             opt_args = dict(config.optim_args)
             lr = opt_args.pop("lr", 9e-5)
@@ -339,6 +346,12 @@ class DynamicEvalEngine:
     # -- inference (no-grad chunked forward + stitch) ----------------------
     def _build_infer(self, W: int, N: int, total_ds: int):
         b = self.infer_batch
+        ndp = 1
+        if self.mesh is not None:
+            # window batch must tile the dp axis; each scan step then runs
+            # dp-many windows per device group in parallel
+            ndp = int(self.mesh.shape.get("dp", 1))
+            b = -(-b // ndp) * ndp
         V = self.n_classes
         n_batches = -(-N // b)
         pad_N = n_batches * b
@@ -358,6 +371,12 @@ class DynamicEvalEngine:
                 w = jax.vmap(
                     lambda st: jax.lax.dynamic_slice(spec_dev, (0, st), (F, W))
                 )(s).astype(jnp.float32)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    w = jax.lax.with_sharding_constraint(
+                        w, NamedSharding(self.mesh, PartitionSpec("dp"))
+                    )
                 out = self._forward(variables, w, l)
                 lp = out["final_posteriors"]  # [b, T_ds, V]
                 ds_len = jnp.where(l > 0, out["length"], 0)

@@ -291,3 +291,68 @@ class TestBlankCollapse:
             alpha=0.0, beta=0.0, prune_less_than_val=None, top_k_tokens=V - 1,
         )
         assert list(np.asarray(toks[0])[: int(lens[0])]) == [2, 2, 2]
+
+
+class TestSegmentedDecode:
+    """beam_search_segmented must be bit-equivalent to one long scan — it is
+    the stitched-scale decode path (a recording is 25-55k frames after blank
+    collapse; one XLA program that long has killed the TPU worker)."""
+
+    def _lp(self, T, V, seed=0):
+        rng = np.random.default_rng(seed)
+        logits = rng.standard_normal((T, V + 1)).astype(np.float32) * 2
+        logits[:, V] += 2.0  # blank-lean, like real CTC output
+        return np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
+
+    @pytest.mark.parametrize("seg", [16, 50, 64])
+    def test_matches_unsegmented(self, seg):
+        from dynamic_asr_eval_tpu.ops.beam_search import beam_search_segmented
+
+        V = 8
+        lp = self._lp(200, V, seed=7)
+        kw = dict(beam_width=5, alpha=0.3, beta=0.4, top_am_threshold=-6.0,
+                  prune_less_than_val=None, top_k_tokens=V - 1)
+        t1, l1, s1 = beam_search_device(jnp.asarray(lp), UniformLMAdapter(V), **kw)
+        t2, l2, s2 = beam_search_segmented(
+            jnp.asarray(lp), UniformLMAdapter(V), segment_frames=seg, **kw
+        )
+        assert int(l1[0]) == int(l2[0])
+        np.testing.assert_array_equal(
+            np.asarray(t1[0])[: int(l1[0])], np.asarray(t2[0])[: int(l2[0])]
+        )
+        assert float(s1[0]) == pytest.approx(float(s2[0]), abs=1e-4)
+
+    def test_segmented_with_transformer_lm(self):
+        from dynamic_asr_eval_tpu.lm.transformer_lm import TransformerLMConfig, init_lm
+        from dynamic_asr_eval_tpu.ops.beam_search import (
+            TransformerLMAdapter, beam_search_segmented,
+        )
+
+        V = 8
+        cfg = TransformerLMConfig(vocab_size=V, n_layers=1, d_model=16,
+                                  n_heads=2, max_cache_length=8)
+        model, variables = init_lm(cfg, jax.random.PRNGKey(0))
+        ad = TransformerLMAdapter(model, variables, cfg, bos_id=0)
+        lp = self._lp(90, V, seed=11)
+        kw = dict(beam_width=4, alpha=0.4, beta=0.3, top_am_threshold=-6.0,
+                  prune_less_than_val=None, top_k_tokens=V - 1)
+        t1, l1, s1 = beam_search_device(jnp.asarray(lp), ad, **kw)
+        t2, l2, s2 = beam_search_segmented(
+            jnp.asarray(lp), ad, segment_frames=32, **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t1[0])[: int(l1[0])], np.asarray(t2[0])[: int(l2[0])]
+        )
+        assert float(s1[0]) == pytest.approx(float(s2[0]), abs=1e-4)
+
+    def test_short_input_passthrough(self):
+        from dynamic_asr_eval_tpu.ops.beam_search import beam_search_segmented
+
+        V = 8
+        lp = self._lp(20, V, seed=3)
+        kw = dict(beam_width=4, prune_less_than_val=None, top_k_tokens=V - 1)
+        t1, l1, _ = beam_search_device(jnp.asarray(lp), UniformLMAdapter(V), **kw)
+        t2, l2, _ = beam_search_segmented(
+            jnp.asarray(lp), UniformLMAdapter(V), segment_frames=4096, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

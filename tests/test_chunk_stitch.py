@@ -61,8 +61,14 @@ class TestChunkPlan:
     def test_bucket_padding(self):
         assert pad_num_chunks(1) == 4
         assert pad_num_chunks(4) == 4
-        assert pad_num_chunks(5) == 8
-        assert pad_num_chunks(41) == 64
+        assert pad_num_chunks(5) == 5
+        assert pad_num_chunks(41) == 44  # octave step 4
+        assert pad_num_chunks(196) == 208  # octave step 16 (was 256 at pow2)
+        # waste is bounded at 12.5%, shape count at 8 buckets per octave
+        for n in range(4, 3000):
+            b = pad_num_chunks(n)
+            assert b >= n and (b - n) / n <= 0.125 + 1e-9
+        assert len({pad_num_chunks(n) for n in range(256, 512)}) <= 9
 
     def test_chunk_spectrogram_shapes(self):
         spec = np.random.default_rng(0).standard_normal((80, 1000)).astype(np.float32)

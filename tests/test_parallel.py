@@ -214,3 +214,45 @@ def test_batch_sharding_and_replicate_roundtrip():
     tree = {"a": jnp.ones((3,)), "b": jnp.zeros((2, 2))}
     rep = replicate(tree, mesh)
     np.testing.assert_array_equal(np.asarray(rep["a"]), np.ones((3,)))
+
+
+def test_dp_infer_matches_single_device():
+    """DynamicEvalEngine(mesh=...) shards the no-grad window batch over dp;
+    stitched output must match the unsharded engine bit-for-bit (same fp32
+    math, GSPMD only changes placement)."""
+    from dynamic_asr_eval_tpu.config import TTAConfig
+    from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
+
+    cfg = _tiny_cfg()
+    model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=256)
+    tta = TTAConfig(seq_len=256, overlap=192, epochs=0, online=False, shuffle=False)
+
+    spec = np.random.default_rng(3).standard_normal((cfg.feat_in, 2000)).astype(np.float32)
+
+    plain = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+    out_plain = plain(variables, spec)
+
+    mesh = make_mesh()  # ('dp','tp') = (8,1)
+    dp = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta, mesh=mesh)
+    out_dp = dp(variables, spec)
+
+    np.testing.assert_allclose(
+        np.asarray(out_dp.logits), np.asarray(out_plain.logits), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out_dp.counts), np.asarray(out_plain.counts))
+
+
+def test_dp_infer_batch_rounds_to_mesh():
+    from dynamic_asr_eval_tpu.config import TTAConfig
+    from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
+
+    cfg = _tiny_cfg()
+    model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=256)
+    tta = TTAConfig(seq_len=256, overlap=128, epochs=0, online=False, shuffle=False)
+    mesh = make_mesh()
+    eng = DynamicEvalEngine(
+        model, cfg.blank_id, cfg.subsampling_factor, tta, infer_batch=3, mesh=mesh
+    )
+    spec = np.random.default_rng(4).standard_normal((cfg.feat_in, 1500)).astype(np.float32)
+    out = eng(variables, spec)  # b=3 must round up to 8 without breaking stitch
+    assert np.isfinite(np.asarray(out.logits)).all()
