@@ -76,7 +76,19 @@ def main(args) -> float:
             ))
             return hyp, gold
 
-        wer, detail = evaluate_records(records, run_one, verbose=not getattr(args, "quiet", False))
+        import contextlib
+
+        # -profile DIR writes a jax.profiler (TensorBoard/XProf) trace of the
+        # whole repeat — the TPU-native deepening of the reference's
+        # `print_runtimes` wall-clock switch (lcasr/lib.py:520-522): per-op
+        # device timelines instead of three timestamps.
+        profile_dir = getattr(args, "profile", "")
+        trace_ctx = (
+            jax.profiler.trace(profile_dir)
+            if profile_dir and repeat == 0 else contextlib.nullcontext()
+        )
+        with trace_ctx:
+            wer, detail = evaluate_records(records, run_one, verbose=not getattr(args, "quiet", False))
         print(f"WER: {wer}")
         append_log(
             getattr(args, "log", ""),
@@ -103,6 +115,8 @@ def cli(argv=None):
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree of the device mesh (with --dp)")
     parser.add_argument("--tokenizer", type=str, default="")
+    parser.add_argument("--profile", type=str, default="",
+                        help="write a jax.profiler trace of repeat 0 to this dir")
     parser.add_argument("--quiet", action="store_true")
     args = apply_args(parser, argv)
     return main(args)

@@ -190,6 +190,7 @@ class BeamSearchHost:
         top_am_threshold: float = -6.0,
         prune_less_than_val: Optional[float] = 3.17,
         exclude_token_zero: bool = True,
+        debug: bool = False,
     ):
         self.log_probs = np.asarray(log_probs)
         self.V = self.log_probs.shape[1] - 1
@@ -202,6 +203,12 @@ class BeamSearchHost:
         self.top_am_threshold = top_am_threshold
         self.prune_less_than_val = prune_less_than_val
         self.exclude_token_zero = exclude_token_zero
+        # per-step operation counters printed when debug=True — the
+        # reference's `debug` beam-search tracing (ctc_beam_search.py:104,
+        # 153,276): candidates proposed, beams merged, beams pruned, LM calls
+        self.debug = debug
+        self.debug_counts = {"candidates": 0, "merges": 0, "pruned": 0,
+                             "lm_advances": 0}
         self.beams: List[_HostBeam] = []
 
     def run_search(self, use_tqdm: bool = False) -> List[Tuple[tuple, float]]:
@@ -236,8 +243,10 @@ class BeamSearchHost:
                         entry = (beam, True, v)
                     if key in cand:
                         cand[key][0] = _logaddexp(cand[key][0], s)
+                        self.debug_counts["merges"] += 1
                     else:
                         cand[key] = [s, *entry]
+                    self.debug_counts["candidates"] += 1
 
             if not cand:
                 # no token above threshold was proposable (e.g. only token 0
@@ -248,7 +257,9 @@ class BeamSearchHost:
             merged = sorted(cand.items(), key=lambda kv: -kv[1][0])[: self.beam_width]
             if self.prune_less_than_val is not None and merged:
                 best = merged[0][1][0]
-                merged = [m for m in merged if m[1][0] >= best - self.prune_less_than_val]
+                kept = [m for m in merged if m[1][0] >= best - self.prune_less_than_val]
+                self.debug_counts["pruned"] += len(merged) - len(kept)
+                merged = kept
 
             advance_lm = t < T - 1
             new_beams = []
@@ -257,12 +268,20 @@ class BeamSearchHost:
                     st, lp = self.lm.advance(
                         parent.lm_state, jnp.asarray([tok]), jnp.ones((1,), bool)
                     )
+                    self.debug_counts["lm_advances"] += 1
                     new_beams.append(_HostBeam(prefix, ends_blank, s, st, np.asarray(lp)[0]))
                 else:
                     new_beams.append(
                         _HostBeam(prefix, ends_blank, s, parent.lm_state, parent.lm_lps)
                     )
             self.beams = new_beams
+            if self.debug:
+                print(f"beam t={t}: beams={len(self.beams)} "
+                      f"best={self.beams[0].score:.3f} "
+                      f"cand={self.debug_counts['candidates']} "
+                      f"merge={self.debug_counts['merges']} "
+                      f"prune={self.debug_counts['pruned']} "
+                      f"lm={self.debug_counts['lm_advances']}")
 
         return [(b.prefix, b.score) for b in self.beams]
 
