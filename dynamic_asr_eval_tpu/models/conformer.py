@@ -68,6 +68,9 @@ class ConformerConfig:
     dropout_conv: float = 0.0
     compute_dtype: Any = jnp.bfloat16
     attention_impl: str = "xla"  # "xla" | "pallas_flash" (kernels.attention)
+    # "xla" | "pallas": fused VMEM subsampling kernel (kernels.subsample;
+    # factor-8 stacks with feat_in % 8 == 0 only — others fall back to xla)
+    subsampling_impl: str = "xla"
 
     @property
     def pos_encoding(self) -> str:
@@ -295,6 +298,45 @@ class DWStridingSubsampling(nn.Module):
         k_in = self.param("conv_in_kernel", nn.initializers.lecun_normal(),
                           (3, 3, 1, C))
         b_in = self.param("conv_in_bias", nn.initializers.zeros, (C,))
+
+        if (cfg.subsampling_impl == "pallas" and n_stages == 3
+                and x.shape[-1] % 8 == 0):
+            # fused VMEM kernel — XLA materializes ~6 GB of tap
+            # intermediates per forward on this stack (PERF.md); the kernel
+            # reads x once and writes the output once.  Params are declared
+            # exactly as in the XLA path (same pytree / checkpoints); the
+            # pointwise convs' kernel+bias are recovered by probing the
+            # nn.Conv with zeros (→ bias) and eye (→ kernel+bias), two
+            # constant-folded [C, C]-sized evaluations.
+            from dynamic_asr_eval_tpu.kernels.subsample import fused_subsample
+
+            ps = [k_in.reshape(9, C).astype(jnp.float32),
+                  b_in.astype(jnp.float32)]
+            for i in range(2):
+                k_dw = self.param(f"dw_conv_{i}_kernel",
+                                  nn.initializers.lecun_normal(), (3, 3, 1, C))
+                b_dw = self.param(f"dw_conv_{i}_bias",
+                                  nn.initializers.zeros, (C,))
+                pw = nn.Conv(C, (1, 1), dtype=jnp.float32,
+                             param_dtype=jnp.float32, name=f"pw_conv_{i}")
+                bias_pw = pw(jnp.zeros((1, 1, 1, C), jnp.float32))[0, 0, 0]
+                k_pw = (pw(jnp.eye(C, dtype=jnp.float32)[None, :, None, :])
+                        [0, :, 0, :] - bias_pw)
+                ps += [k_dw.reshape(9, C).astype(jnp.float32),
+                       b_dw.astype(jnp.float32), k_pw, bias_pw]
+            h = fused_subsample(
+                x.astype(cfg.compute_dtype), *ps,
+                act_name=cfg.subsampling_act,
+                interpret=jax.devices()[0].platform not in ("tpu", "axon"),
+            )
+            B, T_ds, F_ds, _ = h.shape
+            h = h.reshape(B, T_ds, F_ds * C)
+            h = nn.Dense(cfg.d_model, dtype=cfg.compute_dtype,
+                         param_dtype=jnp.float32, name="out")(h)
+            if cfg.subsampling_norm_out:
+                h = nn.LayerNorm(dtype=h.dtype, param_dtype=jnp.float32,
+                                 name="norm_out")(h)
+            return h
         taps = _taps_3x3_s2(x[..., None].astype(cfg.compute_dtype))
         w_in = k_in.reshape(9, C).astype(cfg.compute_dtype)
         # NOTE: a stacked-taps einsum (contraction dim 9) lowers terribly on
