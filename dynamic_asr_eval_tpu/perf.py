@@ -68,9 +68,16 @@ def conformer_forward_flops(cfg, T_in: int, batch: int = 1) -> float:
     return float(fl) * batch
 
 
-def training_step_flops(cfg, T_in: int, batch: int) -> float:
-    """fwd + bwd (≈2× fwd) for one optimization step on ``batch`` windows."""
-    return 3.0 * conformer_forward_flops(cfg, T_in, batch)
+def training_step_flops(cfg, T_in: int, batch: int,
+                        grad_batch: Optional[int] = None) -> float:
+    """FLOPs actually executed for one adaptation step: forward on ``batch``
+    windows plus backward (≈2× forward) on the ``grad_batch`` that carries
+    gradients.  In the NSTI engine the clean copy is ``stop_gradient``-ed
+    (tta/runner.py loss_fn), so grad_batch = num_negatives = batch - 1 —
+    counting bwd over the full batch would overstate MFU by ~1.5×."""
+    gb = (batch - 1) if grad_batch is None else grad_batch
+    return (conformer_forward_flops(cfg, T_in, batch)
+            + 2.0 * conformer_forward_flops(cfg, T_in, max(gb, 0)))
 
 
 # bf16 peak dense-matmul throughput per chip, FLOP/s.  Sources: public TPU
