@@ -155,6 +155,34 @@ def main():
 
     extra = []
 
+    if on_tpu:
+        # On-chip Pallas kernel health checks (these paths are off-default —
+        # flagship uses attention_impl="xla", subsampling_impl="xla" by
+        # measured choice — so this is where a kernel regression would
+        # otherwise hide; see PERF.md).
+        try:
+            from dynamic_asr_eval_tpu.kernels.attention import flash_attention
+
+            rng = np.random.default_rng(0)
+            q = jnp.asarray(rng.standard_normal((2, 1024, 6, 128)), jnp.bfloat16)
+            mask = jnp.ones((2, 1024), bool)
+            os.environ["DAE_STRICT_FLASH_ATTENTION"] = "1"
+            try:
+                fa = flash_attention(q, q, q, mask)
+            finally:
+                os.environ.pop("DAE_STRICT_FLASH_ATTENTION", None)
+            from dynamic_asr_eval_tpu.kernels.attention import _xla_attention
+
+            ref = _xla_attention(q, q, q, mask)
+            err = float(jnp.max(jnp.abs(fa.astype(jnp.float32)
+                                        - ref.astype(jnp.float32))))
+            assert err < 0.05, f"flash attention drift {err}"
+            print(f"bench: pallas flash-attention on-chip check OK (|Δ|≤{err:.4f})",
+                  file=sys.stderr)
+        except Exception as exc:  # report, never block the benchmark
+            print(f"bench: WARNING pallas flash-attention check FAILED: {exc}",
+                  file=sys.stderr)
+
     # MFU estimate: analytic matmul FLOPs of the adaptation forwards+backwards
     # (batch = num_negatives aug + 1 clean per window) vs chip bf16 peak.
     kind = jax.devices()[0].device_kind
