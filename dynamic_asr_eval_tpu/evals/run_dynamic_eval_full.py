@@ -37,11 +37,21 @@ def main(args) -> float:
 
     wers = []
     repeats = getattr(args, "repeats", 1)
+    seed = getattr(args, "seed", None)
+    base_seed = 0 if seed is None else int(seed)
     for repeat in range(repeats):
+        # distinct seed per repeat, like evals/run.py — repeats exist to
+        # average stochastic-TTA noise (lcasr/run.py:76,148)
+        import jax
+        import numpy as np
+
+        repeat_rng = jax.random.PRNGKey(base_seed * 1000 + repeat)
+        repeat_shuffle = np.random.default_rng(base_seed * 1000 + repeat)
 
         def run_one(rec):
             spec, gold = rec["process_fn"](rec)
-            out = engine(variables, spec, args.seq_len, args.overlap)
+            out = engine(variables, spec, args.seq_len, args.overlap,
+                         rng=repeat_rng, shuffle_rng=repeat_shuffle)
             return normalize(decode_output(out, tokenizer, beams=getattr(args, "beams", 1))), gold
 
         wer, detail = evaluate_records(records, run_one, verbose=not getattr(args, "quiet", False))
