@@ -92,6 +92,12 @@ class ConformerConfig:
         return cls(**{k: v for k, v in d.items() if k in fields})
 
 
+# torch nn.LayerNorm default eps — the reference model family is torch, and
+# the converter parity oracle (tests/test_conformer_oracle.py) resolves at
+# the 1e-4 level where flax's 1e-6 default is visible
+LN_EPS = 1e-5
+
+
 def _act(name: str):
     return {"silu": jax.nn.silu, "relu": jax.nn.relu, "gelu": jax.nn.gelu}[name]
 
@@ -220,7 +226,7 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, use_running_average: bool = True):
         if self.kind == "layer_norm":
-            return nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+            return nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, param_dtype=jnp.float32)(x)
         if self.kind in ("batch_renorm", "batch_norm"):
             # "batch_norm" (NeMo conv modules) shares the BatchRenorm module:
             # in eval mode (running stats, the only mode TTA uses —
@@ -334,7 +340,7 @@ class DWStridingSubsampling(nn.Module):
             h = nn.Dense(cfg.d_model, dtype=cfg.compute_dtype,
                          param_dtype=jnp.float32, name="out")(h)
             if cfg.subsampling_norm_out:
-                h = nn.LayerNorm(dtype=h.dtype, param_dtype=jnp.float32,
+                h = nn.LayerNorm(epsilon=LN_EPS, dtype=h.dtype, param_dtype=jnp.float32,
                                  name="norm_out")(h)
             return h
         taps = _taps_3x3_s2(x[..., None].astype(cfg.compute_dtype))
@@ -367,7 +373,7 @@ class DWStridingSubsampling(nn.Module):
             cfg.d_model, dtype=cfg.compute_dtype, param_dtype=jnp.float32, name="out"
         )(h)
         if cfg.subsampling_norm_out:
-            h = nn.LayerNorm(dtype=h.dtype, param_dtype=jnp.float32, name="norm_out")(h)
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=h.dtype, param_dtype=jnp.float32, name="norm_out")(h)
         return h
 
 
@@ -382,7 +388,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
-        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, param_dtype=jnp.float32)(x)
         h = nn.Dense(
             cfg.d_model * cfg.expansion_factor, use_bias=cfg.bias_in_ff,
             dtype=cfg.compute_dtype, param_dtype=jnp.float32, name="in",
@@ -404,7 +410,7 @@ class MHSA(nn.Module):
         cfg = self.config
         H, D = cfg.n_heads, cfg.head_dim
         pos = cfg.pos_encoding
-        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, param_dtype=jnp.float32)(x)
         qkv = nn.Dense(
             3 * H * D, use_bias=cfg.bias_in_attn, dtype=cfg.compute_dtype,
             param_dtype=jnp.float32, name="qkv",
@@ -464,7 +470,7 @@ class ConvModule(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True, use_running_average: bool = True):
         cfg = self.config
-        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32)(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, param_dtype=jnp.float32)(x)
         h = nn.Dense(
             2 * cfg.d_model, dtype=cfg.compute_dtype, param_dtype=jnp.float32,
             name="pw1",
@@ -510,7 +516,7 @@ class ConformerBlock(nn.Module):
         x = x + MHSA(cfg, name="attn")(x, mask, cos, sin, deterministic)
         x = x + ConvModule(cfg, name="conv")(x, mask, deterministic, use_running_average)
         x = x + 0.5 * FeedForward(cfg, name="ff2")(x, deterministic)
-        return nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32, name="norm_out")(x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, param_dtype=jnp.float32, name="norm_out")(x)
 
 
 # ---------------------------------------------------------------------------
@@ -562,7 +568,7 @@ class SCConformer(nn.Module):
 
         # shared CTC head (the "decoder" in reference terms) + shared
         # re-embedding for self-conditioning
-        head_norm = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="decoder_norm")
+        head_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, param_dtype=jnp.float32, name="decoder_norm")
         head = nn.Dense(cfg.n_classes, dtype=jnp.float32, param_dtype=jnp.float32, name="decoder")
         reembed = nn.Dense(
             cfg.d_model, use_bias=False, dtype=cfg.compute_dtype,

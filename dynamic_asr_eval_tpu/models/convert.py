@@ -28,6 +28,12 @@ def t_conv1d(w):  # torch Conv1d [out, in/groups, k] → flax [k, in/groups, out
     return np.transpose(np.asarray(w), (2, 1, 0))
 
 
+def t_conv1d_pw(w):  # torch 1×1 Conv1d [out, in, 1] → flax Dense kernel [in, out]
+    # the conv-module pointwise convs are nn.Dense in the flax model
+    # (models/conformer.py ConvModule) — squeeze the kernel tap, transpose
+    return np.asarray(w)[:, :, 0].T
+
+
 def t_conv2d(w):  # torch Conv2d [out, in/groups, kh, kw] → flax [kh, kw, in/groups, out]
     return np.transpose(np.asarray(w), (2, 3, 1, 0))
 
@@ -55,15 +61,18 @@ DEFAULT_RULES: List[Tuple[str, str, Callable]] = [
     (r"layers\.(\d+)\.attn\.qkv\.weight", r"layer_\1/attn/qkv/kernel", t_dense),
     (r"layers\.(\d+)\.attn\.out\.weight", r"layer_\1/attn/out/kernel", t_dense),
     (r"layers\.(\d+)\.attn\.out\.bias", r"layer_\1/attn/out/bias", identity),
-    (r"layers\.(\d+)\.conv\.pw1\.weight", r"layer_\1/conv/pw1/kernel", t_conv1d),
+    (r"layers\.(\d+)\.conv\.pw1\.weight", r"layer_\1/conv/pw1/kernel", t_conv1d_pw),
     (r"layers\.(\d+)\.conv\.pw1\.bias", r"layer_\1/conv/pw1/bias", identity),
     (r"layers\.(\d+)\.conv\.dw\.weight", r"layer_\1/conv/dw_kernel", t_conv1d),
     (r"layers\.(\d+)\.conv\.dw\.bias", r"layer_\1/conv/dw_bias", identity),
-    (r"layers\.(\d+)\.conv\.pw2\.weight", r"layer_\1/conv/pw2/kernel", t_conv1d),
+    (r"layers\.(\d+)\.conv\.pw2\.weight", r"layer_\1/conv/pw2/kernel", t_conv1d_pw),
     (r"layers\.(\d+)\.conv\.pw2\.bias", r"layer_\1/conv/pw2/bias", identity),
-    # norms (generic)
+    # norms (generic pre-norms of each submodule)
     (r"layers\.(\d+)\.(ff1|ff2|attn|conv)\.norm\.weight", r"layer_\1/\2/LayerNorm_0/scale", identity),
     (r"layers\.(\d+)\.(ff1|ff2|attn|conv)\.norm\.bias", r"layer_\1/\2/LayerNorm_0/bias", identity),
+    # conv-module mid-norm (between depthwise conv and SiLU), layer_norm kind
+    (r"layers\.(\d+)\.conv\.norm_mid\.weight", r"layer_\1/conv/norm/LayerNorm_0/scale", identity),
+    (r"layers\.(\d+)\.conv\.norm_mid\.bias", r"layer_\1/conv/norm/LayerNorm_0/bias", identity),
     (r"layers\.(\d+)\.norm_out\.weight", r"layer_\1/norm_out/scale", identity),
     (r"layers\.(\d+)\.norm_out\.bias", r"layer_\1/norm_out/bias", identity),
     # CTC head + self-conditioning
@@ -75,11 +84,26 @@ DEFAULT_RULES: List[Tuple[str, str, Callable]] = [
 ]
 
 
+# batch_renorm / batch_norm conv-module mid-norms: scale/bias are params,
+# running statistics go to the flax ``batch_stats`` collection (filed under
+# a __batch_stats__ top-level key that convert_lcasr_checkpoint splits off)
+BATCH_RENORM_RULES: List[Tuple[str, Optional[str], Optional[Callable]]] = [
+    (r"layers\.(\d+)\.conv\.norm_mid\.weight", r"layer_\1/conv/norm/BatchRenorm_0/scale", identity),
+    (r"layers\.(\d+)\.conv\.norm_mid\.bias", r"layer_\1/conv/norm/BatchRenorm_0/bias", identity),
+    (r"layers\.(\d+)\.conv\.norm_mid\.running_mean",
+     r"__batch_stats__/layer_\1/conv/norm/BatchRenorm_0/mean", identity),
+    (r"layers\.(\d+)\.conv\.norm_mid\.running_var",
+     r"__batch_stats__/layer_\1/conv/norm/BatchRenorm_0/var", identity),
+    (r"layers\.(\d+)\.conv\.norm_mid\.num_batches_tracked", None, None),  # drop
+]
+
+
 def convert_state_dict(
     state: Dict[str, np.ndarray],
-    rules: Optional[Sequence[Tuple[str, str, Callable]]] = None,
+    rules: Optional[Sequence[Tuple[str, Optional[str], Optional[Callable]]]] = None,
 ) -> Tuple[Dict, List[str]]:
-    """Apply the mapping rules; returns (nested params tree, unmatched keys)."""
+    """Apply the mapping rules; returns (nested params tree, unmatched keys).
+    A rule whose target is ``None`` drops the key (matched but not stored)."""
     rules = list(rules or DEFAULT_RULES)
     tree: Dict = {}
     unmatched = []
@@ -87,6 +111,8 @@ def convert_state_dict(
         for pattern, target, adapt in rules:
             m = re.fullmatch(pattern, key)
             if m:
+                if target is None:
+                    break
                 path = m.expand(target) if "\\" in target else target
                 node = tree
                 parts = path.split("/")
@@ -97,6 +123,29 @@ def convert_state_dict(
         else:
             unmatched.append(key)
     return tree, unmatched
+
+
+def convert_lcasr_checkpoint(
+    state: Dict[str, np.ndarray],
+    default_norm: str = "layer_norm",
+) -> Tuple[Dict, List[str]]:
+    """Full lcasr-style checkpoint → flax ``variables`` dict (``params`` +
+    ``batch_stats`` when the conv-module mid-norms are batch-renorm).
+    Returns (variables, unmatched keys).  Value-level fidelity is proven by
+    the torch oracle (``tests/test_conformer_oracle.py``)."""
+    import jax
+    import jax.numpy as jnp
+
+    rules = list(DEFAULT_RULES)
+    if default_norm in ("batch_renorm", "batch_norm"):
+        # mid-norm rules must outrank the layer_norm mid-norm mapping
+        rules = BATCH_RENORM_RULES + rules
+    tree, unmatched = convert_state_dict(state, rules)
+    stats = tree.pop("__batch_stats__", None)
+    variables = {"params": jax.tree.map(jnp.asarray, tree)}
+    if stats:
+        variables["batch_stats"] = jax.tree.map(jnp.asarray, stats)
+    return variables, unmatched
 
 
 def parity_report(model, variables, converted_params, example_input) -> float:
