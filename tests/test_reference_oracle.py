@@ -1,0 +1,240 @@
+"""Torch mini-oracle for the NSTI (dynamic_eval) loop semantics.
+
+The only WER-parity evidence obtainable offline: re-implement the
+reference's ``dynamic_eval_ctc_loss`` control flow (``lcasr/lib.py:450-640``)
+in torch — chunking with the trailing-window kill rule (``:128-145``),
+forward of ``[augmented, clean]`` with augmentation off, greedy pseudo-labels
+from the clean stream (``:558-563``), CTC loss summed and divided by
+``frames × num_negatives`` (``:573-575``), MADGRAD step, online/offline
+stitching by probability-sum / count-divide then log (``:583-629``) — run it
+against the JAX ``DynamicEvalEngine`` with IDENTICAL tiny weights (via the
+value-proven converter, ``tests/test_conformer_oracle.py``), and assert the
+adapted-parameter trajectory and the stitched logit matrix agree to fp32
+tolerance over several windows and epochs.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_asr_eval_tpu.config import TTAConfig
+from dynamic_asr_eval_tpu.models.conformer import ConformerConfig, SCConformer
+from dynamic_asr_eval_tpu.models.convert import convert_lcasr_checkpoint
+from dynamic_asr_eval_tpu.tta.runner import DynamicEvalEngine
+
+from torch_oracles import TorchSCConformer
+
+DS = 8
+BLANK_OFFSETS_TOL = 1e-4  # params
+LOGITS_TOL = 2e-3  # stitched log-probs after several optimizer steps
+
+
+class TorchMadgrad:
+    """MADGRAD (Defazio & Jelassi 2021) momentum dual-averaging — the
+    reference's default TTA optimizer (``lcasr/lib.py:458,494``), from-paper
+    torch implementation mirroring ``optim/madgrad.py``."""
+
+    def __init__(self, params, lr, momentum=0.9, eps=1e-6):
+        self.params = [p for p in params if p.requires_grad]
+        self.lr, self.ck, self.eps = lr, 1.0 - momentum, eps
+        self.k = 0
+        self.s = [torch.zeros_like(p) for p in self.params]
+        self.v = [torch.zeros_like(p) for p in self.params]
+        self.x0 = [p.detach().clone() for p in self.params]
+
+    def zero_grad(self):
+        for p in self.params:
+            p.grad = None
+
+    @torch.no_grad()
+    def step(self):
+        lamb = self.lr * float(np.sqrt(self.k + 1))
+        for p, s, v, x0 in zip(self.params, self.s, self.v, self.x0):
+            if p.grad is None:
+                continue
+            g = p.grad
+            s += lamb * g
+            v += lamb * g * g
+            z = x0 - s / (v.pow(1.0 / 3.0) + self.eps)
+            p.mul_(1.0 - self.ck).add_(self.ck * z)
+        self.k += 1
+
+
+def _prepare_chunks(spec, seq_len, overlap):
+    """Reference ``prepare_chunks`` (lcasr/lib.py:128-145) semantics."""
+    spec_n = spec.shape[-1]
+    if spec_n <= seq_len:
+        return {0: spec}
+    chunks, last_ulen, kill_next = {}, None, False
+    for i in range(0, spec_n, seq_len - overlap):
+        chunk = spec[:, :, i : i + seq_len]
+        if kill_next:
+            break
+        if last_ulen is not None and chunk.shape[-1] < last_ulen:
+            kill_next = True
+        last_ulen = chunk.shape[-1]
+        chunks[i] = chunk
+    return chunks
+
+
+def _greedy_ids(lp, blank):
+    ids, out, prev = lp.argmax(-1).tolist(), [], -1
+    for t in ids:
+        if t != prev and t != blank:
+            out.append(t)
+        prev = t
+    return out
+
+
+def torch_dynamic_eval(model, spec, seq_len, overlap, lr, epochs, online):
+    """Reference ``dynamic_eval_ctc_loss`` control flow with augmentation off
+    (num_negatives=1, all aug no-op — the aug copy equals the clean copy)."""
+    blank = model.decoder.num_classes - 1
+    spec_n = spec.shape[-1]
+    V = model.decoder.num_classes
+    if seq_len > spec_n:
+        seq_len, overlap = spec_n, 0
+    ctc_loss_fn = torch.nn.CTCLoss(blank=blank, reduction="sum")
+    optimizer = TorchMadgrad(model.parameters(), lr=lr)
+    model.eval()
+    epochs = 1 if online else epochs
+    model_outputs = {}
+    chunks = _prepare_chunks(spec, seq_len, overlap)
+    for _epoch in range(epochs):
+        for i, chunk in chunks.items():
+            audio = chunk.repeat(2, 1, 1)  # [aug, clean], aug is a no-op copy
+            u_len = audio.shape[-1]
+            out = model(audio_signal=audio)["final_posteriors"]
+            pseudo = _greedy_ids(out[-1].detach(), blank)
+            targets = torch.LongTensor(pseudo).unsqueeze(0)
+            aug_outs = out[:1]
+            N, B = aug_outs.shape[1], aug_outs.shape[0]
+            loss = ctc_loss_fn(
+                aug_outs.transpose(0, 1), targets,
+                torch.LongTensor([N]), torch.LongTensor([targets.shape[1]]),
+            ) / (N * B)
+            optimizer.zero_grad()
+            loss.backward()
+            optimizer.step()
+            if online:
+                logits = out[-1].detach().exp()
+                ds_len = logits.shape[-2]
+                model_outputs[i] = (logits, ds_len, int(overlap / (u_len / ds_len)))
+    if not online:
+        for i, chunk in chunks.items():
+            u_len = chunk.shape[-1]
+            with torch.no_grad():
+                out = model(audio_signal=chunk)["final_posteriors"]
+            logits = out[0].exp()
+            ds_len = logits.shape[-2]
+            model_outputs[i] = (logits, ds_len, int(overlap / (u_len / ds_len)))
+
+    all_logits = torch.zeros(spec_n // DS + seq_len, V)
+    counts = torch.zeros(spec_n // DS + seq_len)
+    pos = 0
+    for j, i in enumerate(sorted(model_outputs.keys())):
+        logits, ds_len, overlap_ds = model_outputs[i]
+        pos -= overlap_ds if j != 0 else 0
+        all_logits[pos : pos + ds_len] += logits
+        counts[pos : pos + ds_len] += 1
+        pos += ds_len
+    keep = counts > 0
+    stitched = torch.log(all_logits[keep] / counts[keep, None])
+    return stitched.numpy(), model
+
+
+def _setup(seed=0):
+    dims = dict(feat_in=16, n_layers=2, d_model=32, n_heads=2, head_dim=16,
+                vocab_size=32, subsampling_factor=DS,
+                subsampling_conv_channels=8, conv_kernel_size=9)
+    torch.manual_seed(seed)
+    tm = TorchSCConformer(**dims).eval()
+    cfg = ConformerConfig(compute_dtype=jnp.float32, **dims)
+    variables, unmatched = convert_lcasr_checkpoint(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()},
+        cfg.default_norm,
+    )
+    assert unmatched == []
+    return tm, cfg, variables
+
+
+def _run_jax(cfg, variables, spec_np, seq_len, overlap, lr, epochs, online):
+    tta = TTAConfig(seq_len=seq_len, overlap=overlap, epochs=epochs,
+                    online=online, shuffle=False, lm_tta_beams=0,
+                    optim_args={"lr": lr})
+    engine = DynamicEvalEngine(
+        SCConformer(cfg), cfg.blank_id, cfg.subsampling_factor, tta,
+    )
+    out = engine(variables, spec_np, seq_len, overlap, return_params=True)
+    return out.numpy_logits(), out.params
+
+
+def _param_delta(torch_model, jax_params, default_norm="layer_norm"):
+    adapted_vars, _ = convert_lcasr_checkpoint(
+        {k: v.detach().numpy() for k, v in torch_model.state_dict().items()},
+        default_norm,
+    )
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - jnp.asarray(b)).max()),
+        jax_params, adapted_vars["params"],
+    )
+    return max(jax.tree.leaves(deltas))
+
+
+@pytest.mark.parametrize("online", [True, False])
+def test_nsti_loop_parity_single_epoch(online):
+    """5-window recording (incl. a short tail window), one adaptation epoch:
+    the adapted parameters and the stitched logit matrix must match the torch
+    reference control flow to fp32 tolerance."""
+    tm, cfg, variables = _setup(seed=0)
+    lr = 1e-3
+    spec = np.random.default_rng(0).standard_normal((16, 160)).astype(np.float32)
+
+    j_logits, j_params = _run_jax(cfg, variables, spec, 64, 32, lr, 1, online)
+    t_logits, tm = torch_dynamic_eval(
+        tm, torch.from_numpy(spec)[None], 64, 32, lr, 1, online)
+
+    assert j_logits.shape == t_logits.shape, (j_logits.shape, t_logits.shape)
+    assert np.abs(j_logits - t_logits).max() < LOGITS_TOL, \
+        np.abs(j_logits - t_logits).max()
+    # the run must have actually adapted (guards a no-op engine)
+    base = variables["params"]
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), base, j_params)))
+    assert moved > 1e-6, "adaptation did not change parameters"
+    assert _param_delta(tm, j_params) < BLANK_OFFSETS_TOL
+
+
+def test_nsti_loop_parity_two_epochs_offline():
+    """Two offline epochs + fresh final pass (lcasr/lib.py:596-612)."""
+    tm, cfg, variables = _setup(seed=1)
+    lr = 5e-4
+    spec = np.random.default_rng(1).standard_normal((16, 160)).astype(np.float32)
+
+    j_logits, j_params = _run_jax(cfg, variables, spec, 64, 32, lr, 2, False)
+    t_logits, tm = torch_dynamic_eval(
+        tm, torch.from_numpy(spec)[None], 64, 32, lr, 2, False)
+
+    assert j_logits.shape == t_logits.shape
+    assert np.abs(j_logits - t_logits).max() < LOGITS_TOL, \
+        np.abs(j_logits - t_logits).max()
+    assert _param_delta(tm, j_params) < BLANK_OFFSETS_TOL
+
+
+def test_nsti_single_window_recording():
+    """spec shorter than seq_len: one full-length window, overlap forced 0
+    (lcasr/lib.py:501-503)."""
+    tm, cfg, variables = _setup(seed=2)
+    lr = 1e-3
+    spec = np.random.default_rng(2).standard_normal((16, 48)).astype(np.float32)
+
+    j_logits, _ = _run_jax(cfg, variables, spec, 64, 32, lr, 1, True)
+    t_logits, _ = torch_dynamic_eval(
+        tm, torch.from_numpy(spec)[None], 64, 32, lr, 1, True)
+
+    assert j_logits.shape == t_logits.shape, (j_logits.shape, t_logits.shape)
+    assert np.abs(j_logits - t_logits).max() < LOGITS_TOL
