@@ -86,6 +86,20 @@ def build_engine(args, model, cfg: ConformerConfig, engine_kind: str = "dynamic_
     return cls(model, cfg.blank_id, cfg.subsampling_factor, tta, **kwargs)
 
 
+def maybe_shard_variables(engine, variables):
+    """When the engine carries a mesh with tp > 1, shard the parameters over
+    it (GSPMD tensor parallelism).  Without this, --tp N silently shrinks the
+    dp axis N-fold while the params stay fully replicated — a performance
+    loss with no actual tensor parallelism."""
+    mesh = getattr(engine, "mesh", None)
+    if mesh is None or int(mesh.shape.get("tp", 1)) <= 1:
+        return variables
+    from dynamic_asr_eval_tpu.parallel import shard_params
+
+    params, _ = shard_params(variables["params"], mesh)
+    return {**variables, "params": params}
+
+
 def decode_output(out, tokenizer, beam_search_fn: Optional[Callable] = None,
                   beams: int = 1) -> str:
     """Final decode of a stitched engine output: on-device greedy (ids only

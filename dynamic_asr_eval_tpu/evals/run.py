@@ -23,6 +23,7 @@ from dynamic_asr_eval_tpu.evals.common import (
     decode_output,
     evaluate_records,
     load_model_and_tokenizer,
+    maybe_shard_variables,
     save_result_pickle,
 )
 from dynamic_asr_eval_tpu.text import normalize
@@ -50,6 +51,7 @@ def main(args) -> float:
         )
 
     engine = build_engine(args, model, cfg, engine_kind, lm_adapter=lm_adapter)
+    variables = maybe_shard_variables(engine, variables)
 
     wers = []
     repeats = getattr(args, "repeats", 1)
@@ -63,12 +65,18 @@ def main(args) -> float:
 
         repeat_rng = jax.random.PRNGKey(base_seed * 1000 + repeat)
         repeat_shuffle = np.random.default_rng(base_seed * 1000 + repeat)
+        rec_counter = iter(range(len(records)))
 
         def run_one(rec):
             spec, gold = rec["process_fn"](rec)
+            # fold the record index into the key: the reference's global RNG
+            # advances across recordings (lcasr/run.py:76) — a shared per-
+            # repeat key would give every recording identical augmentation
+            # noise sequences
+            rec_rng = jax.random.fold_in(repeat_rng, next(rec_counter))
             out = engine(
                 variables, spec, args.seq_len, args.overlap,
-                rng=repeat_rng, shuffle_rng=repeat_shuffle,
+                rng=rec_rng, shuffle_rng=repeat_shuffle,
             )
             hyp = normalize(decode_output(
                 out, tokenizer, beam_search_fn=beam_search_fn,

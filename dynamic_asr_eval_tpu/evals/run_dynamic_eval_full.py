@@ -47,11 +47,15 @@ def main(args) -> float:
 
         repeat_rng = jax.random.PRNGKey(base_seed * 1000 + repeat)
         repeat_shuffle = np.random.default_rng(base_seed * 1000 + repeat)
+        rec_counter = iter(range(len(records)))
 
         def run_one(rec):
             spec, gold = rec["process_fn"](rec)
+            # per-record key split, like evals/run.py — the reference's
+            # global RNG advances across recordings (lcasr/run.py:76)
+            rec_rng = jax.random.fold_in(repeat_rng, next(rec_counter))
             out = engine(variables, spec, args.seq_len, args.overlap,
-                         rng=repeat_rng, shuffle_rng=repeat_shuffle)
+                         rng=rec_rng, shuffle_rng=repeat_shuffle)
             return normalize(decode_output(out, tokenizer, beams=getattr(args, "beams", 1))), gold
 
         wer, detail = evaluate_records(records, run_one, verbose=not getattr(args, "quiet", False))

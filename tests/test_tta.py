@@ -302,3 +302,24 @@ class TestRepeats:
         o2 = engine(variables, spec, rng=jax.random.PRNGKey(1),
                     shuffle_rng=np.random.default_rng(1))
         assert np.abs(o1.numpy_logits() - o2.numpy_logits()).max() > 0
+
+    def test_driver_folds_distinct_key_per_record(self, monkeypatch):
+        """evals/run.py must fold the record index into the per-repeat key so
+        recordings within a repeat do not share augmentation-noise sequences
+        (the reference's global RNG advances across recordings,
+        lcasr/run.py:76)."""
+        from dynamic_asr_eval_tpu.evals import run as run_mod
+        from dynamic_asr_eval_tpu.tta.runner import DynamicEvalEngine as Eng
+
+        seen = []
+        orig = Eng.__call__
+
+        def spy(self, variables, spec, seq_len=-1, overlap=-1, **kw):
+            seen.append(np.asarray(jax.random.key_data(kw["rng"])).copy())
+            return orig(self, variables, spec, seq_len, overlap, **kw)
+
+        monkeypatch.setattr(Eng, "__call__", spy)
+        run_mod.cli(["-d", "synthetic", "--quiet",
+                     "-kwargs", "epochs=1", "seq_len=512", "overlap=0"])
+        assert len(seen) >= 2
+        assert not np.array_equal(seen[0], seen[1]), "records share one key"
