@@ -41,6 +41,19 @@ def _hash_ctx(tokens: Sequence[int]) -> int:
     return int(h)
 
 
+def probe_width(hi_sorted: np.ndarray, minimum: int = 8) -> int:
+    """Linear-probe width for a sorted hi-32 key array: the maximum run of
+    equal hi-32 values (a probe shorter than the longest duplicate run turns
+    a table hit into a silent backoff/unk).  Computed once at build time —
+    at KenLM scale (~1M+ n-grams) birthday collisions in 32 bits are routine."""
+    n = len(hi_sorted)
+    if n == 0:
+        return minimum
+    change = np.nonzero(np.diff(hi_sorted))[0]
+    bounds = np.concatenate([[-1], change, [n - 1]])
+    return max(minimum, int(np.max(np.diff(bounds))))
+
+
 class NGramLM:
     """Backoff n-gram tables over token ids.
 
@@ -66,13 +79,18 @@ class NGramLM:
         self.keys_lo: Dict[int, jnp.ndarray] = {}
         self.logp: Dict[int, jnp.ndarray] = {}
         self.backoff: Dict[int, jnp.ndarray] = {}
+        self.probe: Dict[int, int] = {}
         for k, (keys, logp, backoff) in tables.items():
             order_idx = np.argsort(keys, kind="stable")
             keys = keys[order_idx]
-            self.keys_hi[k] = jnp.asarray((keys >> np.uint64(32)).astype(np.uint32))
+            hi = (keys >> np.uint64(32)).astype(np.uint32)
+            self.keys_hi[k] = jnp.asarray(hi)
             self.keys_lo[k] = jnp.asarray((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32))
             self.logp[k] = jnp.asarray(logp[order_idx].astype(np.float32))
             self.backoff[k] = jnp.asarray(backoff[order_idx].astype(np.float32))
+            # probe must cover the longest equal-hi32 run or lookups can
+            # silently miss; audited here at build time
+            self.probe[k] = probe_width(hi)
 
     # -- device-side lookup -------------------------------------------------
     def _lookup(self, k: int, h_hi: jnp.ndarray, h_lo: jnp.ndarray):
@@ -84,10 +102,10 @@ class NGramLM:
             z = jnp.zeros(h_hi.shape, jnp.float32)
             return jnp.zeros(h_hi.shape, bool), z, z
         # combined sort key: hi*2^32+lo is the sort order; searchsorted on hi
-        # then linear probe over duplicates of hi (bounded by max dup run).
+        # then linear probe over duplicates of hi — probe width covers the
+        # table's longest duplicate-hi32 run (audited in __init__)
         left = jnp.searchsorted(keys_hi, h_hi, side="left")
-        # probe up to PROBE entries
-        PROBE = 8
+        PROBE = self.probe[k]
         idxs = jnp.clip(left[..., None] + jnp.arange(PROBE), 0, n - 1)
         cand_hi = keys_hi[idxs]
         cand_lo = keys_lo[idxs]

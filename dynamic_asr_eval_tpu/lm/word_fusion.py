@@ -135,6 +135,11 @@ class WordNGramAdapter:
         hashes, ids = hashes[order], ids[order]
         self.wh_hi, self.wh_lo = _split64(hashes)
         self.wh_ids = jnp.asarray(ids)
+        # probe must cover the longest equal-hi32 run (see ngram.probe_width)
+        from dynamic_asr_eval_tpu.lm.ngram import probe_width
+
+        self._probe = probe_width(
+            (hashes >> np.uint64(32)).astype(np.uint32))
         self.n_words = len(word_to_id)
         self.unk_id = word_to_id.get("<unk>", -1)
         self.bos_id = word_to_id.get("<s>", -1)
@@ -146,7 +151,7 @@ class WordNGramAdapter:
     def _word_id(self, h_hi, h_lo):
         n = self.wh_hi.shape[0]
         left = jnp.searchsorted(self.wh_hi, h_hi, side="left")
-        PROBE = 8
+        PROBE = self._probe
         idxs = jnp.clip(left[..., None] + jnp.arange(PROBE), 0, n - 1)
         hit = (self.wh_hi[idxs] == h_hi[..., None]) & (
             self.wh_lo[idxs] == h_lo[..., None]

@@ -146,6 +146,59 @@ class TestNGram:
         # unseen bigram: unigram + backoff(context 2)
         assert scores[4] == pytest.approx(-1.0 + -0.5, abs=1e-5)
 
+    def test_long_equal_hi32_run_still_hits(self):
+        """Regression: a run of >8 keys sharing the hi-32 bits must not turn
+        a table hit into a silent unk — the probe width is audited at build
+        time (probe_width) to cover the longest duplicate run."""
+        from dynamic_asr_eval_tpu.lm.ngram import probe_width
+
+        V = 40
+        n_run = 20
+        hi = np.uint64(0xDEADBEEF) << np.uint64(32)
+        # 20 colliding keys (same hi32, distinct lo32) + some non-colliding
+        keys = np.array(
+            [int(hi | np.uint64(lo)) for lo in range(100, 100 + n_run)]
+            + [_hash_ctx([v]) for v in range(5)],
+            dtype=np.uint64,
+        )
+        logp = np.arange(len(keys), dtype=np.float32) * -0.1 - 0.1
+        tables = {1: (keys, logp, np.zeros_like(logp))}
+        lm = NGramLM(1, tables, V)
+        assert lm.probe[1] >= n_run
+        assert probe_width(np.asarray([1, 1, 1, 2], np.uint32)) == 8  # min 8
+        # query the LAST key of the colliding run directly via _lookup
+        q = keys[n_run - 1]
+        found, lp, _ = lm._lookup(
+            1,
+            jnp.asarray([np.uint32(q >> np.uint64(32))]),
+            jnp.asarray([np.uint32(q & np.uint64(0xFFFFFFFF))]),
+        )
+        assert bool(found[0]), "deep-run key silently missed"
+        # value must match the entry for that exact key after the stable sort
+        order = np.argsort(keys, kind="stable")
+        expect = logp[order][int(np.searchsorted(keys[order], q))]
+        assert float(lp[0]) == pytest.approx(float(expect), abs=1e-6)
+
+    def test_word_adapter_probe_covers_duplicates(self):
+        """WordNGramAdapter audits its word-hash table the same way."""
+        from dynamic_asr_eval_tpu.lm.ngram import probe_width
+        from dynamic_asr_eval_tpu.lm.word_fusion import WordNGramAdapter
+
+        class _Tok:
+            def vocab_size(self):
+                return 4
+
+            def id_to_piece(self, i):
+                return ["▁a", "b", "▁c", "d"][i]
+
+        words = {w: i for i, w in enumerate(["a", "ab", "c", "cd", "<unk>"])}
+        tables = {1: (np.array([_hash_ctx([v]) for v in range(5)], np.uint64),
+                      np.full((5,), -1.0, np.float32),
+                      np.zeros((5,), np.float32))}
+        ad = WordNGramAdapter(NGramLM(1, tables, 5), words, _Tok())
+        hi = np.asarray(ad.wh_hi, np.uint32)
+        assert ad._probe == probe_width(np.sort(hi))
+
     def test_empty_context_uses_unigrams(self):
         V = 4
         tables = {
