@@ -107,13 +107,19 @@ def load_beamsearch(
     bos_id: int = 0,
     blank_collapse_threshold: Optional[float] = 0.99,
     adapter=None,
+    segment_frames: int = 4096,
 ) -> Callable:
     """Returns ``beam_search_fn(log_probs, beam_width) -> text``.
 
     ``blank_collapse_threshold`` drops redundant blank-dominated frames
     before the search (one frame per blank run is kept) — measured 6× faster
     at Earnings-22 stitched scale with identical output; pass ``None`` for
-    the reference's exact frame-by-frame behavior."""
+    the reference's exact frame-by-frame behavior.
+
+    ``segment_frames`` tunes the segmented decode: inputs ≤ this length keep
+    the single-program path, longer ones run one reused compilation per
+    segment (short-but-over-threshold recordings can raise it to avoid a
+    second compile + dispatch)."""
     from dynamic_asr_eval_tpu.ops.beam_search import beam_search_device
 
     if adapter is None:
@@ -130,7 +136,7 @@ def load_beamsearch(
         from dynamic_asr_eval_tpu.ops.beam_search import beam_search_segmented
 
         toks, lens, _ = beam_search_segmented(
-            jnp.asarray(lp), adapter,
+            jnp.asarray(lp), adapter, segment_frames=segment_frames,
             beam_width=beam_width, alpha=alpha, beta=beta,
             top_am_threshold=top_am_threshold,
             prune_less_than_val=prune_less_than_val,

@@ -24,9 +24,14 @@ TPU-native design: everything stays inside the jitted beam-search scan.
 - ``word_bonus`` is the per-WORD insertion bonus (pyctcdecode's beta); set
   the beam's per-token ``beta=0`` when using it.
 
-Documented divergences from pyctcdecode: the final (unterminated) word of an
-utterance is not scored, and there is no partial-word unigram lookahead —
-both affect ranking only at the last frame of a stitched recording.
+- at end-of-stream the pending partial word is scored as a full word
+  (:meth:`WordNGramAdapter.final_scores`, applied by the beam searches at
+  finalization) — pyctcdecode's last-word semantics.
+
+Documented divergence from pyctcdecode: no partial-word unigram lookahead
+(pyctcdecode adds a provisional unigram score while a word is incomplete and
+replaces it at the boundary; here incomplete words contribute nothing until
+they close, which reorders candidates only between word boundaries).
 """
 
 from __future__ import annotations
@@ -230,3 +235,23 @@ class WordNGramAdapter:
 
     def gather(self, state, idx):
         return tuple(x[idx] for x in state)
+
+    def final_scores(self, state):
+        """[B]: end-of-stream score of the pending PARTIAL word, as if a
+        closing token were emitted — pyctcdecode scores the final word of an
+        utterance at finalization; without this the last word of every
+        recording goes unscored.  The beam search adds ``alpha ×`` this to
+        the final beam scores (no ``beta``: no token is emitted)."""
+        hist, hlen, h_hi, h_lo, wlen = state
+        found, wid = self._word_id(h_hi, h_lo)
+        if self.unk_id >= 0:
+            wid_eff = jnp.where(found, wid, self.unk_id)
+            close = self.lm.score_candidates(hist, hlen, wid_eff[:, None])[:, 0]
+        else:
+            close = jnp.where(
+                found,
+                self.lm.score_candidates(hist, hlen, wid[:, None])[:, 0],
+                self.unk_logp,
+            )
+        close = close + self.word_bonus
+        return jnp.where(wlen > 0, close, 0.0)

@@ -32,16 +32,28 @@ def source_path(src_name: str) -> str:
 
 def _build(src: str, so: str, libs: Sequence[str]) -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", so, src]
+    # compile to a per-process temp name, then os.rename (atomic on POSIX):
+    # the in-process lock doesn't cover concurrent PROCESSES (parallel eval
+    # jobs, pytest workers) sharing the repo — a direct write could let one
+    # dlopen a half-written library and cache the failure for its lifetime
+    tmp = f"{so}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", tmp, src]
     cmd += [f"-l{l}" for l in libs]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+        if proc.returncode != 0:
+            print(f"WARNING: native build of {os.path.basename(src)} failed:\n"
+                  f"{proc.stderr[-1000:]}")
+            return False
+        os.rename(tmp, so)
     except (OSError, subprocess.TimeoutExpired):
         return False
-    if proc.returncode != 0:
-        print(f"WARNING: native build of {os.path.basename(src)} failed:\n"
-              f"{proc.stderr[-1000:]}")
-        return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     return True
 
 

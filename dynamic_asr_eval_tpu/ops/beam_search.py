@@ -283,6 +283,17 @@ class BeamSearchHost:
                       f"prune={self.debug_counts['pruned']} "
                       f"lm={self.debug_counts['lm_advances']}")
 
+        if hasattr(self.lm, "final_scores"):
+            # end-of-stream finalization (pyctcdecode last-word semantics):
+            # word-boundary adapters score the pending partial word
+            self.beams = [
+                b._replace(
+                    score=b.score
+                    + self.alpha * float(np.asarray(self.lm.final_scores(b.lm_state))[0])
+                )
+                for b in self.beams
+            ]
+            self.beams.sort(key=lambda b: -b.score)
         return [(b.prefix, b.score) for b in self.beams]
 
     def return_text(self, idx: int, tokenizer) -> str:
@@ -558,9 +569,24 @@ def beam_search_device(
     xs = (jnp.arange(T), log_probs, top_vals, top_idx)
     final, _ = jax.lax.scan(step, state0, xs)
     if return_state:
+        # segmented decoding: finalization happens once at the true end of
+        # the stream (beam_search_segmented), not per segment
         return final
+    final = _finalize_state(final, lm_adapter, alpha)
     order = jnp.argsort(-final.score)
     return final.tokens[order], final.length[order], final.score[order]
+
+
+def _finalize_state(state: "DeviceBeamState", lm_adapter, alpha: float):
+    """End-of-stream finalization: word-boundary adapters score the pending
+    partial word of each live beam (pyctcdecode's last-word semantics)."""
+    if not hasattr(lm_adapter, "final_scores"):
+        return state
+    NEG = -1e30
+    bonus = alpha * lm_adapter.final_scores(state.lm_state)
+    return state._replace(
+        score=jnp.where(state.score > NEG / 2, state.score + bonus, state.score)
+    )
 
 
 def beam_search_segmented(
@@ -602,5 +628,6 @@ def beam_search_segmented(
             return_state=True,
             **kwargs,
         )
+    state = _finalize_state(state, lm_adapter, kwargs.get("alpha", 0.45))
     order = jnp.argsort(-state.score)
     return state.tokens[order], state.length[order], state.score[order]

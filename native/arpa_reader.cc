@@ -143,18 +143,14 @@ ArpaFile* arpa_parse(const char* path, int max_order) {
     }
     if (fields.size() < static_cast<size_t>(cur) + 1) continue;
 
-    char tmp[64];
-    size_t flen = fields[0].len < 63 ? fields[0].len : 63;
-    memcpy(tmp, fields[0].p, flen);
-    tmp[flen] = 0;
-    float lp = strtof(tmp, nullptr);
+    // parse in place: fields point into the NUL-terminated file buffer and
+    // are bounded by whitespace/newline, all of which stop strtof — no
+    // fixed-size copy that could silently truncate a long numeric field
+    float lp = strtof(fields[0].p, nullptr);
 
     float bo = 0.0f;
     if (fields.size() >= static_cast<size_t>(cur) + 2) {
-      size_t blen = fields[cur + 1].len < 63 ? fields[cur + 1].len : 63;
-      memcpy(tmp, fields[cur + 1].p, blen);
-      tmp[blen] = 0;
-      bo = strtof(tmp, nullptr);
+      bo = strtof(fields[cur + 1].p, nullptr);
     }
 
     auto& ids = a->ids[cur];

@@ -107,6 +107,64 @@ class TestWordAdapter:
         expect = brute_force_word_score(["the", "cat", "sat"], UNIS, BIS)
         assert abs(total - expect) < 1e-4, (total, expect)
 
+    def test_final_unterminated_word_scored(self, toy_arpa):
+        """pyctcdecode scores the LAST word of an utterance at finalization
+        even without a trailing separator: close scores over 'the cat' (no
+        final space) plus final_scores must equal brute force over both
+        words."""
+        tok = CharTokenizer()
+        lm, w2i = load_word_arpa(toy_arpa)
+        ad = WordNGramAdapter(lm, w2i, tok)
+        state, lps = ad.init_state(1)
+        total = 0.0
+        for ch in "the cat":  # note: no trailing separator
+            tid = tok.encode(ch)[0]
+            total += float(lps[0, tid])
+            state, lps = ad.advance(
+                state, jnp.asarray([tid], jnp.int32), jnp.asarray([True])
+            )
+        total += float(ad.final_scores(state)[0])
+        expect = brute_force_word_score(["the", "cat"], UNIS, BIS)
+        assert abs(total - expect) < 1e-4, (total, expect)
+        # nothing pending → finalization adds nothing
+        state2, _ = ad.init_state(1)
+        assert float(ad.final_scores(state2)[0]) == 0.0
+
+    def test_final_word_changes_beam_ranking(self, toy_arpa):
+        """End-to-end: an utterance ENDING mid-word ('the ca[x|t]') must let
+        the word LM flip the final-word choice in both searches."""
+        from dynamic_asr_eval_tpu.ops.pyctc_compat import build_ctcdecoder
+
+        tok = CharTokenizer()
+        V = tok.vocab_size() + 1
+        blank = V - 1
+
+        def frame(char=None, margin=None):
+            row = np.full((V,), -15.0, np.float32)
+            row[blank] = -6.0
+            if char is not None:
+                row[tok.encode(char)[0]] = 0.0
+            if margin is not None:
+                a, la, b, lb = margin
+                row[tok.encode(a)[0]] = la
+                row[tok.encode(b)[0]] = lb
+            return row
+
+        rows = []
+        for ch in "the ca":
+            rows.append(frame(ch))
+            rows.append(frame())
+        rows.append(frame(margin=("x", -0.55, "t", -0.85)))
+        rows.append(frame())  # stream ends here — no separator after the word
+        lp = np.stack(rows)
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+
+        no_lm = build_ctcdecoder(tok)
+        with_lm = build_ctcdecoder(tok, kenlm_model_path=toy_arpa,
+                                   alpha=0.6, beta=0.0, lm_level="word")
+        assert no_lm.decode(lp, beam_width=8).strip() == "the cax"
+        assert with_lm.decode(lp, beam_width=8).strip() == "the cat"
+
     def test_oov_word_gets_unk_penalty(self, toy_arpa):
         tok = CharTokenizer()
         lm, w2i = load_word_arpa(toy_arpa)
