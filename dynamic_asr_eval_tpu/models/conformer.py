@@ -68,9 +68,21 @@ class ConformerConfig:
     dropout_conv: float = 0.0
     compute_dtype: Any = jnp.bfloat16
     attention_impl: str = "xla"  # "xla" | "pallas_flash" (kernels.attention)
-    # "xla" | "pallas": fused VMEM subsampling kernel (kernels.subsample;
-    # factor-8 stacks with feat_in % 8 == 0 only — others fall back to xla)
-    subsampling_impl: str = "xla"
+    # "conv": lax.conv_general_dilated (stride-2 convs on the MXU/conv unit)
+    # "xla": 9-term broadcast tap sums (VPU work; the round-2 formulation)
+    # "pallas": fused VMEM kernel (kernels.subsample; factor-8 stacks with
+    #   feat_in % 8 == 0 only — others fall back)
+    # all three share identical parameters; "conv" measured ~1.5-2× faster
+    # per adapt step in-model on v5e (see PERF.md round-3 A/B)
+    subsampling_impl: str = "conv"
+    # sequence parallelism: (batch_axis, seq_axis) mesh-axis names.  When
+    # set, block activations and the attention score matrix carry sharding
+    # constraints over the time axis, so the dominant [B, H, T, T] scores
+    # and per-block [B, T, d] activations are 1/sp per device — real memory
+    # scaling, not placement.  Requires an active mesh context (`with mesh:`)
+    # whose axis names match.  GSPMD all-gathers only K/V (T·d, small) and
+    # exchanges conv halos; everything else stays time-sharded.
+    seq_shard_axes: Optional[Tuple[Optional[str], str]] = None
 
     @property
     def pos_encoding(self) -> str:
@@ -104,6 +116,28 @@ def _act(name: str):
 
 def lengths_to_mask(lengths: jnp.ndarray, T: int) -> jnp.ndarray:
     return jnp.arange(T)[None, :] < lengths[:, None]
+
+
+def _try_constraint(x: jnp.ndarray, spec) -> jnp.ndarray:
+    """Best-effort ``with_sharding_constraint`` with a bare PartitionSpec:
+    resolves against the jit call's mesh when one is present; silently a
+    no-op otherwise (e.g. during ``model.init`` outside any mesh) — the
+    constraint pins a layout, it never changes semantics."""
+    try:
+        return jax.lax.with_sharding_constraint(x, spec)
+    except (RuntimeError, ValueError):
+        return x
+
+
+def _shard_seq(x: jnp.ndarray, axes) -> jnp.ndarray:
+    """Sharding constraint over (batch, time, …) for sequence parallelism;
+    no-op when ``axes`` is None."""
+    if axes is None:
+        return x
+    from jax.sharding import PartitionSpec
+
+    b_ax, s_ax = axes
+    return _try_constraint(x, PartitionSpec(*([b_ax, s_ax] + [None] * (x.ndim - 2))))
 
 
 # ---------------------------------------------------------------------------
@@ -279,16 +313,31 @@ def _taps_3x3_s2(h: jnp.ndarray):
     return taps
 
 
+def _conv2d_s2(h: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+               groups: int = 1) -> jnp.ndarray:
+    """3×3 stride-2 conv via ``lax.conv_general_dilated`` with torch-aligned
+    explicit padding (1,1) — output position o reads inputs 2o-1..2o+1,
+    exactly the tap-sum/_taps_3x3_s2 alignment; out length ⌈T/2⌉."""
+    out = jax.lax.conv_general_dilated(
+        h, kernel.astype(h.dtype),
+        window_strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return out + bias.astype(h.dtype)
+
+
 class DWStridingSubsampling(nn.Module):
     """Depthwise-striding conv subsampling: one full Conv2d stride 2, then
     (log2(factor)-1) × [depthwise stride-2 conv + pointwise conv], SiLU
     between, final linear to d_model.  Input [B, T, F] → [B, T/factor, d].
 
-    TPU-first lowering: XLA handles a C_in=1 conv and grouped depthwise 2D
-    convs very poorly (measured ~45% of the whole fwd+bwd step) — both are
-    expressed here as 9 strided slices feeding one matmul (full conv) or a
-    per-channel multiply-add (depthwise).  Parameter shapes match the conv
-    formulation so checkpoints interchange."""
+    Three interchangeable lowerings (identical parameters + outputs):
+    ``conv`` uses ``lax.conv_general_dilated`` directly; ``xla`` expresses
+    each stride-2 conv as 9 shifted-phase multiply-adds (the round-2 path,
+    kept for A/B and as the fallback reference); ``pallas`` is the fused
+    VMEM kernel.  On v5e the direct conv wins in-model (PERF.md)."""
 
     config: ConformerConfig
 
@@ -342,6 +391,26 @@ class DWStridingSubsampling(nn.Module):
             if cfg.subsampling_norm_out:
                 h = nn.LayerNorm(epsilon=LN_EPS, dtype=h.dtype, param_dtype=jnp.float32,
                                  name="norm_out")(h)
+            return h
+        if cfg.subsampling_impl == "conv":
+            h = x[..., None].astype(cfg.compute_dtype)  # [B, T, F, 1]
+            h = act(_conv2d_s2(h, k_in, b_in))
+            for i in range(n_stages - 1):
+                k_dw = self.param(f"dw_conv_{i}_kernel",
+                                  nn.initializers.lecun_normal(), (3, 3, 1, C))
+                b_dw = self.param(f"dw_conv_{i}_bias",
+                                  nn.initializers.zeros, (C,))
+                h = _conv2d_s2(h, k_dw, b_dw, groups=C)
+                h = nn.Conv(C, (1, 1), dtype=cfg.compute_dtype,
+                            param_dtype=jnp.float32, name=f"pw_conv_{i}")(h)
+                h = act(h)
+            B, T_ds, F_ds, _ = h.shape
+            h = h.reshape(B, T_ds, F_ds * C)
+            h = nn.Dense(cfg.d_model, dtype=cfg.compute_dtype,
+                         param_dtype=jnp.float32, name="out")(h)
+            if cfg.subsampling_norm_out:
+                h = nn.LayerNorm(epsilon=LN_EPS, dtype=h.dtype,
+                                 param_dtype=jnp.float32, name="norm_out")(h)
             return h
         taps = _taps_3x3_s2(x[..., None].astype(cfg.compute_dtype))
         w_in = k_in.reshape(9, C).astype(cfg.compute_dtype)
@@ -454,6 +523,17 @@ class MHSA(nn.Module):
             logits = jnp.einsum(
                 "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
             ) * scale
+            if cfg.seq_shard_axes is not None:
+                # sequence parallelism: keep the [B, H, T, S] score matrix
+                # sharded over the QUERY time axis — K/V are all-gathered
+                # (T·d each, cheap) while the T² activations stay 1/sp per
+                # device.  This is the memory-scaling half of SP.
+                from jax.sharding import PartitionSpec
+
+                b_ax, s_ax = cfg.seq_shard_axes
+                logits = _try_constraint(
+                    logits, PartitionSpec(b_ax, None, s_ax, None)
+                )
             bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
             attn = jax.nn.softmax(logits + bias, axis=-1).astype(cfg.compute_dtype)
             out = jnp.einsum("bhts,bshd->bthd", attn, v)
@@ -561,6 +641,7 @@ class SCConformer(nn.Module):
         ds_length = jnp.ceil(length / cfg.subsampling_factor).astype(jnp.int32)
         mask = lengths_to_mask(ds_length, T_ds)
         h = jnp.where(mask[..., None], h, 0)
+        h = _shard_seq(h, cfg.seq_shard_axes)
 
         cos, sin = rotary_freqs(
             cfg.head_dim, cfg.rotary_base_freq, T_ds, cfg.rotary_interpolation_factor
@@ -591,6 +672,7 @@ class SCConformer(nn.Module):
 
         for i, block in enumerate(blocks):
             h = block(h, mask, cos, sin, deterministic, use_running_average)
+            h = _shard_seq(h, cfg.seq_shard_axes)
             if cfg.self_conditioning and i < cfg.n_layers - 1:
                 lp = ctc_logits(h)
                 if return_interim:

@@ -206,6 +206,71 @@ def test_dp_tp_sp_step_matches_single_device():
     )
 
 
+def test_seq_shard_reduces_per_device_activation_memory():
+    """Real sequence parallelism, not placement: an sp-sharded window with
+    seq_shard_axes set must (a) cut the compiled per-device temp allocation
+    (dominated by the [B, H, T, T] scores) by ~1/sp vs the replicated
+    program, (b) all-gather only K/V-sized buffers — never a score-sized
+    one, and (c) match single-device numerics."""
+    import dataclasses
+    import re
+
+    devices = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devices, ("dp", "sp"))
+    T = 1024  # T_ds = 256 → scores dominate the temps
+    base = _tiny_cfg(d_model=32)
+    base = dataclasses.replace(base, n_heads=2, head_dim=16)
+    model, variables = init_conformer(base, jax.random.PRNGKey(0), example_T=T)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, base.feat_in, T)), jnp.float32
+    )
+    repl = NamedSharding(mesh, P())
+    T_ds = T // base.subsampling_factor
+
+    def build(cfg, in_spec):
+        from dynamic_asr_eval_tpu.models.conformer import SCConformer
+
+        m = SCConformer(cfg)
+
+        def fwd(v, x):
+            return m.apply(v, x)["final_posteriors"]
+
+        with mesh:
+            compiled = (
+                jax.jit(fwd, in_shardings=(repl, NamedSharding(mesh, in_spec)),
+                        out_shardings=repl)
+                .lower(variables, x)
+                .compile()
+            )
+            out = compiled(variables, x)
+        return compiled, np.asarray(out)
+
+    sp_cfg = dataclasses.replace(base, seq_shard_axes=("dp", "sp"))
+    c_repl, o_repl = build(base, P())
+    c_sp, o_sp = build(sp_cfg, P("dp", None, "sp"))
+
+    t_repl = c_repl.memory_analysis().temp_size_in_bytes
+    t_sp = c_sp.memory_analysis().temp_size_in_bytes
+    # sp=4 over the time axis: per-device temps must drop well below half
+    assert t_sp < 0.5 * t_repl, (t_sp, t_repl)
+
+    # every all-gather must be K/V-sized (≤ T_ds·d·B elements) — a gathered
+    # score matrix (B·H·T_ds²) would mean sp degenerated to placement
+    score_elems = 2 * base.n_heads * T_ds * T_ds
+    for line in c_sp.as_text().splitlines():
+        if "all-gather" in line and "=" in line:
+            for shape in re.findall(r"f32\[([\d,]+)\]", line):
+                elems = int(np.prod([int(s) for s in shape.split(",")]))
+                assert elems < score_elems // 2, (line[:120], elems)
+
+    # numerics: sp program == replicated program == single-device apply
+    assert np.abs(o_repl - o_sp).max() < 1e-4
+    from dynamic_asr_eval_tpu.models.conformer import SCConformer
+
+    single = np.asarray(SCConformer(base).apply(variables, x)["final_posteriors"])
+    assert np.abs(o_sp - single).max() < 1e-4
+
+
 def test_batch_sharding_and_replicate_roundtrip():
     mesh = make_mesh()
     x = jnp.arange(16.0).reshape(8, 2)

@@ -184,6 +184,34 @@ class TestReplaceWithFrame:
         assert any(np.allclose(out[:, 0], np.asarray(s)[:, j]) for j in range(20))
 
 
+class TestEvalForEachCpt:
+    def test_iterates_checkpoints_and_reports_best(self, tmp_path, capsys):
+        """Parity with lcasr/tedlium/bin/eval_for_each_cpt.py: every .ckpt in
+        the folder is evaluated through the per-recording driver."""
+        import jax
+        import jax.numpy as jnp
+
+        from dynamic_asr_eval_tpu.evals.eval_for_each_cpt import cli
+        from dynamic_asr_eval_tpu.models import ConformerConfig, init_conformer
+        from dynamic_asr_eval_tpu.models.checkpoint import save_checkpoint
+
+        cfg = ConformerConfig(
+            feat_in=80, n_layers=1, d_model=32, n_heads=2, head_dim=16,
+            vocab_size=28, subsampling_factor=4, subsampling_conv_channels=8,
+            conv_kernel_size=5, compute_dtype=jnp.float32,
+        )
+        for seed in (0, 1):
+            _, variables = init_conformer(cfg, jax.random.PRNGKey(seed), 128)
+            save_checkpoint(str(tmp_path / f"cpt_{seed}.ckpt"), variables, cfg)
+        (tmp_path / "notes.txt").write_text("ignored")
+
+        results = cli(["-cf", str(tmp_path), "-d", "synthetic", "--quiet",
+                       "-kwargs", "epochs=0", "seq_len=512", "overlap=0"])
+        assert [n for n, _ in results] == ["cpt_0.ckpt", "cpt_1.ckpt"]
+        assert all(0.0 <= w <= 10.0 for _, w in results)
+        assert "<- best" in capsys.readouterr().out
+
+
 class TestConvert:
     def test_rule_mapping_and_unmatched(self):
         import numpy as np
