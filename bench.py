@@ -153,11 +153,34 @@ def main():
     print(f"bench: NSTI adapt+stitch {nsti_elapsed:.2f}s for {audio_seconds}s "
           f"audio → RTFx {nsti_rtfx:.1f}", file=sys.stderr)
 
+    # Decode-representativeness evidence: random-init output is blank-
+    # collapsed (few tokens), but every decode-path op in these rows is
+    # SHAPE-STATIC (masked argmax/collapse/CTC DPs over padded buffers), so
+    # the timing cannot depend on token density.  Demonstrate by re-timing
+    # the stitched greedy decode on shaped realistic-density posteriors
+    # (~1 token per 4 frames) vs this run's real output.
+    from dynamic_asr_eval_tpu.tta.runner import EngineOutput
+
+    shaped_lp = _make_ctc_like_logits(int(out.logits.shape[0]), cfg.n_classes)
+    shaped_out = EngineOutput(
+        jnp.asarray(shaped_lp), jnp.ones((shaped_lp.shape[0],), jnp.float32),
+        None, 0.0, cfg.blank_id,
+    )
+    t0 = time.time()
+    n_shaped = len(shaped_out.greedy_ids())
+    t_shaped = time.time() - t0
+    t0 = time.time()
+    n_real = len(out.greedy_ids())
+    t_real = time.time() - t0
+    print(f"bench: stitched greedy decode {t_real:.3f}s on real output "
+          f"({n_real} tokens) vs {t_shaped:.3f}s on shaped density "
+          f"({n_shaped} tokens) — shape-static cost", file=sys.stderr)
+
     extra = []
 
     if on_tpu:
         # On-chip Pallas kernel health checks (these paths are off-default —
-        # flagship uses attention_impl="xla", subsampling_impl="xla" by
+        # flagship uses attention_impl="xla" and subsampling_impl="conv" by
         # measured choice — so this is where a kernel regression would
         # otherwise hide; see PERF.md).
         try:

@@ -343,6 +343,57 @@ class DeviceBeamState(NamedTuple):
     lm_state: object
 
 
+class _ScanState(NamedTuple):
+    """Per-frame scan carry: DeviceBeamState WITHOUT the [B, Lmax] token
+    buffer.  Carrying materialized tokens costs an O(B·Lmax) gather + rewrite
+    EVERY frame (≈4 MB/frame at stitched Earnings-22 scale — ~100 GB of HBM
+    traffic per recording, the decode bottleneck); instead each step emits
+    [B] backpointers and tokens are reconstructed once per call by
+    :func:`_reconstruct_tokens`."""
+
+    score: jnp.ndarray
+    hash_hi: jnp.ndarray
+    hash_lo: jnp.ndarray
+    ends_blank: jnp.ndarray
+    last_token: jnp.ndarray
+    length: jnp.ndarray
+    lm_lps: jnp.ndarray
+    lm_state: object
+
+
+def _reconstruct_tokens(init_tokens, init_length, final_length,
+                        parents, toks, news):
+    """Backtrace: walk parent pointers from the final beams to the segment
+    start, writing emitted tokens right-to-left, then splice each beam's
+    originating prefix from ``init_tokens``.  One [B, Lmax] buffer total
+    (in-place scatter of ≤B elements per step) instead of per frame.
+
+    parents/toks/news: [T, B]; returns (tokens [B, Lmax], origin [B])."""
+    B = init_length.shape[0]
+    Lmax = init_tokens.shape[1]
+    rows = jnp.arange(B)
+
+    def back(carry, xs):
+        cur, pos, buf = carry
+        par, tk, nw = xs
+        emitted = nw[cur]
+        new_pos = pos - emitted.astype(jnp.int32)
+        # out-of-range column drops the write (non-emitting rows, overflow)
+        wpos = jnp.where(emitted & (new_pos >= 0), new_pos, Lmax)
+        buf = buf.at[rows, wpos].set(tk[cur], mode="drop")
+        return (par[cur], new_pos, buf), None
+
+    carry0 = (rows, final_length.astype(jnp.int32),
+              jnp.zeros((B, Lmax), jnp.int32))
+    (origin, pos0, buf), _ = jax.lax.scan(
+        back, carry0, (parents, toks, news), reverse=True
+    )
+    # positions < the origin's initial length come from the initial prefix
+    prefix = init_tokens[origin]
+    tokens = jnp.where(jnp.arange(Lmax)[None, :] < pos0[:, None], prefix, buf)
+    return tokens, origin
+
+
 def beam_search_device(
     log_probs: jnp.ndarray,  # [T, V+1]
     lm_adapter,
@@ -500,17 +551,9 @@ def beam_search_device(
             sel_new = new_f[sel] & (top_scores > NEG / 2)
             sel_bf = bf_f[sel]
 
-            # gather parent state
-            tokens = state.tokens[sel_parent]
+            # lengths advance with emissions; token buffers are NOT carried —
+            # the step emits [B] backpointers instead (see _ScanState)
             length = state.length[sel_parent]
-            # append new tokens
-            app_pos = jnp.clip(length, 0, Lmax - 1)
-            tokens = jnp.where(
-                sel_new[:, None]
-                & (jnp.arange(Lmax)[None, :] == app_pos[:, None]),
-                sel_tok[:, None],
-                tokens,
-            )
             length = jnp.where(sel_new, jnp.minimum(length + 1, Lmax), length)
 
             hash_hi = jnp.where(
@@ -542,19 +585,25 @@ def beam_search_device(
                 sel_new.any(), _adv, lambda ls: (ls, lm_lps_parent), lm_state
             )
 
-            return DeviceBeamState(
+            new_state = _ScanState(
                 score=top_scores,
                 hash_hi=hash_hi,
                 hash_lo=hash_lo,
                 ends_blank=ends_blank,
                 last_token=last_token,
-                tokens=tokens,
                 length=length,
                 lm_lps=lm_lps,
                 lm_state=lm_state,
             )
+            return new_state, (sel_parent, sel_tok, sel_new)
 
-        new_state = jax.lax.cond(live, do, lambda s: s, state)
+        rows = jnp.arange(B)
+        idle_ys = (rows, jnp.full((B,), -1, jnp.int32), jnp.zeros((B,), bool))
+
+        def idle(s):
+            return s, idle_ys
+
+        new_state, ys = jax.lax.cond(live, do, idle, state)
         # skip-frame safeguard: if every candidate was below threshold the
         # whole beam set would die — keep the previous state instead
         dead = new_state.score[0] < NEG / 2
@@ -564,10 +613,28 @@ def beam_search_device(
             ) if hasattr(new, "ndim") else new,
             new_state, state,
         )
-        return new_state, None
+        ys = jax.tree.map(
+            lambda y, i: jnp.where(jnp.reshape(dead, (1,) * y.ndim), i, y),
+            ys, idle_ys,
+        )
+        return new_state, ys
 
+    scan0 = _ScanState(
+        score=state0.score, hash_hi=state0.hash_hi, hash_lo=state0.hash_lo,
+        ends_blank=state0.ends_blank, last_token=state0.last_token,
+        length=state0.length, lm_lps=state0.lm_lps, lm_state=state0.lm_state,
+    )
     xs = (jnp.arange(T), log_probs, top_vals, top_idx)
-    final, _ = jax.lax.scan(step, state0, xs)
+    fin, (parents, toks, news) = jax.lax.scan(step, scan0, xs)
+    tokens, _ = _reconstruct_tokens(
+        state0.tokens, state0.length, fin.length, parents, toks, news
+    )
+    final = DeviceBeamState(
+        score=fin.score, hash_hi=fin.hash_hi, hash_lo=fin.hash_lo,
+        ends_blank=fin.ends_blank, last_token=fin.last_token,
+        tokens=tokens, length=fin.length, lm_lps=fin.lm_lps,
+        lm_state=fin.lm_state,
+    )
     if return_state:
         # segmented decoding: finalization happens once at the true end of
         # the stream (beam_search_segmented), not per segment
