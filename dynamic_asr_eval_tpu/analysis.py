@@ -110,6 +110,79 @@ def plot_wer_bars(labels: Sequence[str], wers: Sequence[float], out_path: str,
     return out_path
 
 
+def plot_protocol_scheme(protocol: str, out_path: str, n_chunks: int = 5):
+    """Protocol scheme diagram (``results/within_loo/plot_within_loo_scheme.py``
+    parity, L6 figure scripts).  Drawn as a pass×chunk role grid: each row is
+    one adaptation pass, each cell shows what happens to that chunk in that
+    pass (adapt / infer / held out), with a bottom row for the per-position
+    probability average that feeds the final decode.
+
+    ``protocol``: ``"within_loo"`` (pass i adapts on chunk i, infers the
+    rest) or ``"half_concat"`` (two folds: adapt on one half, infer the
+    other)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.patches as mpatches
+    import matplotlib.pyplot as plt
+
+    C_ADAPT, C_INFER, C_AVG = "#b5543c", "#3c6fb5", "#5d8a52"
+    if protocol == "within_loo":
+        passes = [["adapt" if c == p else "infer" for c in range(n_chunks)]
+                  for p in range(n_chunks)]
+        title = "Within-recording leave-one-out adaptation"
+    elif protocol == "half_concat":
+        n_chunks = 2
+        passes = [["adapt", "infer"], ["infer", "adapt"]]
+        title = "Half-concat fold adaptation"
+    else:
+        raise ValueError(f"unknown protocol {protocol!r}")
+
+    n_rows = len(passes)
+    fig, ax = plt.subplots(figsize=(1.3 * n_chunks + 2.5, 0.62 * (n_rows + 3)))
+    ax.set_axis_off()
+
+    def cell(x, y, color, label, text_color="white"):
+        ax.add_patch(plt.Rectangle((x, y), 0.92, 0.7, facecolor=color,
+                                   edgecolor="#333333", linewidth=0.6))
+        ax.text(x + 0.46, y + 0.35, label, ha="center", va="center",
+                fontsize=8, color=text_color)
+
+    top = n_rows + 2.0
+    for c in range(n_chunks):
+        cell(c, top, "#d8d8d8", f"chunk {c + 1}", "#222222")
+    ax.text(-0.15, top + 0.35, "recording", ha="right", va="center", fontsize=9)
+
+    for p, roles in enumerate(passes):
+        y = n_rows - p
+        ax.text(-0.15, y + 0.35, f"pass {p + 1}", ha="right", va="center",
+                fontsize=8)
+        for c, role in enumerate(roles):
+            cell(c, y, C_ADAPT if role == "adapt" else C_INFER, role)
+
+    for c in range(n_chunks):
+        cell(c, -0.6, C_AVG, "avg")
+    ax.text(-0.15, -0.25, "stitched p̄", ha="right", va="center", fontsize=9)
+    ax.annotate("", xy=(n_chunks / 2, -0.7), xytext=(n_chunks / 2, 0.85),
+                arrowprops=dict(arrowstyle="-|>", color="#555555"))
+    ax.text(n_chunks / 2, -1.15, "beam-search decode → hypothesis",
+            ha="center", va="center", fontsize=9)
+
+    ax.legend(handles=[mpatches.Patch(color=C_ADAPT, label="adapt (NSTI)"),
+                       mpatches.Patch(color=C_INFER, label="infer (adapted weights)"),
+                       mpatches.Patch(color=C_AVG, label="per-position average")],
+              loc="upper left", bbox_to_anchor=(1.0, 1.0), frameon=False,
+              fontsize=8)
+    ax.set_xlim(-1.6, n_chunks + 2.6)
+    ax.set_ylim(-1.5, top + 1.1)
+    ax.set_title(title, fontsize=10)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def to_latex_table(rows: Sequence[Dict], columns: Sequence[str],
                    caption: str = "", fmt: str = "%.4f") -> str:
     """LaTeX tabular emitter (``summarize_epoch1_to_latex.py`` parity)."""

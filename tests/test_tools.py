@@ -140,6 +140,15 @@ class TestAnalysis:
                                    baseline=0.15)
         assert os.path.exists(p)
 
+    def test_plot_protocol_scheme(self, tmp_path):
+        from dynamic_asr_eval_tpu import analysis
+
+        for proto in ("within_loo", "half_concat"):
+            p = analysis.plot_protocol_scheme(proto, str(tmp_path / f"{proto}.png"))
+            assert os.path.exists(p)
+        with pytest.raises(ValueError):
+            analysis.plot_protocol_scheme("nope", str(tmp_path / "x.png"))
+
     def test_gap_audit(self):
         from dynamic_asr_eval_tpu.analysis import audit_transcript_gaps
 
