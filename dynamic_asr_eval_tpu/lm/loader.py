@@ -70,11 +70,16 @@ def load_lm_adapter(
     tokenizer,
     max_cache_length: int = 128,
     bos_id: int = 0,
+    compute_dtype=None,
 ):
     """Build the device-beam LM adapter for a checkpoint path: ARPA n-gram
     tables for ``.arpa``/``.gz`` files, the transformer LM otherwise.  Used
     both for the final stitched decode (``load_beamsearch``) and for
-    LM-fused TTA pseudo-labels (``lm_tta_beams``, lcasr/lib.py:515)."""
+    LM-fused TTA pseudo-labels (``lm_tta_beams``, lcasr/lib.py:515).
+
+    ``compute_dtype`` overrides the checkpoint's LM compute/cache dtype
+    (fused log-probs stay f32 either way); ``jnp.bfloat16`` is ~1.67× faster
+    on TPU, measured token-level neutral at stitched scale."""
     from dynamic_asr_eval_tpu.ops.beam_search import (
         NGramAdapter,
         TransformerLMAdapter,
@@ -92,6 +97,12 @@ def load_lm_adapter(
     # rebuild the module with the requested ring size — parameters are
     # independent of it
     config = dataclasses.replace(config, max_cache_length=max_cache_length)
+    if compute_dtype is not None:
+        config = dataclasses.replace(config, compute_dtype=compute_dtype)
+        variables = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if a.dtype == jnp.float32 else a, variables,
+        )
     model = TransformerLM(config)
     return TransformerLMAdapter(model, variables, config, bos_id=bos_id)
 
@@ -108,6 +119,7 @@ def load_beamsearch(
     blank_collapse_threshold: Optional[float] = 0.99,
     adapter=None,
     segment_frames: int = 4096,
+    compute_dtype=None,
 ) -> Callable:
     """Returns ``beam_search_fn(log_probs, beam_width) -> text``.
 
@@ -124,7 +136,8 @@ def load_beamsearch(
 
     if adapter is None:
         adapter = load_lm_adapter(
-            path, tokenizer, max_cache_length=max_cache_length, bos_id=bos_id
+            path, tokenizer, max_cache_length=max_cache_length, bos_id=bos_id,
+            compute_dtype=compute_dtype,
         )
 
     def beam_search_fn(log_probs, beam_width: int = 20) -> str:

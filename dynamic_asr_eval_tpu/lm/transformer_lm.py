@@ -55,10 +55,14 @@ class LMBlock(nn.Module):
     config: TransformerLMConfig
 
     @nn.compact
-    def __call__(self, x, k_cache, v_cache, cache_pos, pos):
+    def __call__(self, x, k_cache, v_cache, cache_pos, pos, write_mask=None):
         """Single-token step.  x [B, d]; k/v_cache [B, H, N, D]; cache_pos [B]
         (number of valid entries, == absolute position); pos [B] absolute
-        position of this token.  Returns (y, new_k, new_v)."""
+        position of this token.  ``write_mask`` [B] bool (None = all): rows
+        with False leave the cache untouched (their ring write is dropped) —
+        the beam search advances only emitting beams, and masking at the
+        scatter is ~200 MB/step cheaper than where-merging full caches after
+        the fact.  Returns (y, new_k, new_v)."""
         cfg = self.config
         H, D, N = cfg.n_heads, cfg.head_dim, cfg.max_cache_length
         h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32, name="ln1")(x)
@@ -72,11 +76,13 @@ class LMBlock(nn.Module):
         q = _rot(q, cos[:, None, :], sin[:, None, :])
         k = _rot(k, cos[:, None, :], sin[:, None, :])
 
-        # ring-buffer write at slot pos % N
+        # ring-buffer write at slot pos % N (dropped for masked-off rows)
         slot = (pos % N).astype(jnp.int32)
+        if write_mask is not None:
+            slot = jnp.where(write_mask, slot, N)
         bidx = jnp.arange(B)
-        new_k = k_cache.at[bidx, :, slot].set(k.astype(k_cache.dtype))
-        new_v = v_cache.at[bidx, :, slot].set(v.astype(v_cache.dtype))
+        new_k = k_cache.at[bidx, :, slot].set(k.astype(k_cache.dtype), mode="drop")
+        new_v = v_cache.at[bidx, :, slot].set(v.astype(v_cache.dtype), mode="drop")
 
         # attention over valid cache slots + self
         # slot i holds absolute position: p_i such that p_i % N == i and
@@ -113,7 +119,8 @@ class TransformerLM(nn.Module):
     config: TransformerLMConfig
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, cache: Dict[str, jnp.ndarray]):
+    def __call__(self, tokens: jnp.ndarray, cache: Dict[str, jnp.ndarray],
+                 write_mask=None):
         cfg = self.config
         pos = cache["lengths"]  # absolute position of this token
         x = nn.Embed(cfg.vocab_size, cfg.d_model, param_dtype=jnp.float32,
@@ -121,19 +128,20 @@ class TransformerLM(nn.Module):
         new_ks, new_vs = [], []
         for i in range(cfg.n_layers):
             x, nk, nv = LMBlock(cfg, name=f"layer_{i}")(
-                x, cache["k"][i], cache["v"][i], pos, pos
+                x, cache["k"][i], cache["v"][i], pos, pos, write_mask
             )
             new_ks.append(nk)
             new_vs.append(nv)
         x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_f")(x)
-        logits = nn.Dense(cfg.vocab_size, dtype=jnp.float32, param_dtype=jnp.float32,
-                          name="head")(x)
+        logits = nn.Dense(cfg.vocab_size, dtype=cfg.compute_dtype,
+                          param_dtype=jnp.float32, name="head")(x)
+        new_lengths = pos + 1 if write_mask is None else pos + write_mask
         new_cache = {
             "k": jnp.stack(new_ks),
             "v": jnp.stack(new_vs),
-            "lengths": pos + 1,
+            "lengths": new_lengths,
         }
-        return jax.nn.log_softmax(logits, axis=-1), new_cache
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), new_cache
 
 
 def empty_cache(config: TransformerLMConfig, batch: int) -> Dict[str, jnp.ndarray]:

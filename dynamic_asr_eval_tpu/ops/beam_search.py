@@ -22,9 +22,11 @@ Two implementations with identical semantics:
 - :class:`BeamSearchHost` — a clear numpy implementation (reference for
   tests, and the practical path for CPU decoding);
 - :func:`beam_search_device` — the TPU-native version: fixed beam width,
-  prefixes as rolling 64-bit hashes (uint32 pairs), merge via lexsort +
-  segment-logsumexp, the whole time loop a jitted ``lax.scan``; the LM
-  advances all beams each frame with masked state updates (static shapes).
+  prefixes as rolling 64-bit hashes (uint32 pairs), merge via a pairwise
+  equality mask + row logsumexp, the whole time loop a jitted ``lax.scan``;
+  the LM state is carried *lazily* (a permutation vector composes beam
+  reorders) and is physically gathered + advanced only on frames where some
+  selected beam emitted a new token (static shapes throughout).
 
 LM interface (both versions): an adapter with
 ``init_state(batch) -> (state, lps [batch, V])``,
@@ -116,13 +118,13 @@ class TransformerLMAdapter:
         return cache, lps
 
     def advance(self, state, tokens, mask):
-        lps, new_cache = self.model.apply(self.variables, tokens.astype(jnp.int32), state)
-        cache = {
-            "k": jnp.where(mask[None, :, None, None, None], new_cache["k"], state["k"]),
-            "v": jnp.where(mask[None, :, None, None, None], new_cache["v"], state["v"]),
-            "lengths": jnp.where(mask, new_cache["lengths"], state["lengths"]),
-        }
-        return cache, lps
+        # masked rows never touch the cache: the ring write is dropped inside
+        # the model (write_mask), which is ~200 MB/call cheaper than where-
+        # merging the full [L, B, H, N, D] caches after the fact
+        lps, new_cache = self.model.apply(
+            self.variables, tokens.astype(jnp.int32), state, write_mask=mask
+        )
+        return new_cache, lps
 
     def gather(self, state, idx):
         return {
@@ -359,6 +361,13 @@ class _ScanState(NamedTuple):
     length: jnp.ndarray
     lm_lps: jnp.ndarray
     lm_state: object
+    # lazy LM-state carry: ``lm_state`` rows live in a stale *physical*
+    # order; ``perm[b]`` is the physical row holding beam b's state.  Beam
+    # reorders compose into perm (an O(B) int gather); the cache itself is
+    # physically gathered + advanced ONLY on frames where a selected beam
+    # emitted a new token.  On a transformer LM the per-frame KV gather was
+    # ~88% of decode time (PERF.md round-3 probe) and most frames don't emit.
+    perm: jnp.ndarray  # [B] int32
 
 
 def _reconstruct_tokens(init_tokens, init_length, final_length,
@@ -514,31 +523,28 @@ def beam_search_device(
             bf_f, par_f, tok_f, new_f = flat(bf_all), flat(parent), flat(tok_all), flat(is_new_all)
             M = score_f.shape[0]
 
-            # merge equal (hi, lo, blankflag): lexsort then segment-logsumexp
-            key2 = hi_f
-            key1 = lo_f
-            key0 = bf_f.astype(jnp.uint32)
-            order = jnp.lexsort((jnp.where(score_f > NEG / 2, -score_f, -NEG), key0, key1, key2))
-            s_sorted = score_f[order]
-            h_hi_s, h_lo_s, bf_s = hi_f[order], lo_f[order], bf_f[order]
-            same_as_prev = (
-                (h_hi_s == jnp.roll(h_hi_s, 1))
-                & (h_lo_s == jnp.roll(h_lo_s, 1))
-                & (bf_s == jnp.roll(bf_s, 1))
+            # merge equal (hi, lo, blankflag) candidates via a pairwise
+            # equality mask + row logsumexp: M² (~435k at B20/K32) fully
+            # lane-parallel bool/float ops — far cheaper on the VPU than the
+            # 4 sequential lexsorts this replaces.  The representative is the
+            # LOWEST flat index of each group, which is exactly the host
+            # search's first-insertion semantics (beam-major, token-major).
+            alive_f = score_f > NEG / 2
+            eqm = (
+                (hi_f[:, None] == hi_f[None, :])
+                & (lo_f[:, None] == lo_f[None, :])
+                & (bf_f[:, None] == bf_f[None, :])
+                & alive_f[:, None] & alive_f[None, :]
             )
-            same_as_prev = same_as_prev.at[0].set(False)
-            seg = jnp.cumsum(~same_as_prev) - 1  # [M]
-
-            seg_max = jnp.full((M,), NEG).at[seg].max(s_sorted)
-            contrib = jnp.where(s_sorted > NEG / 2, jnp.exp(s_sorted - seg_max[seg]), 0.0)
-            seg_sum = jnp.zeros((M,)).at[seg].add(contrib)
-            seg_score = jnp.where(seg_sum > 0, seg_max + jnp.log(jnp.maximum(seg_sum, 1e-37)), NEG)
-
-            # representative = first (highest-score) element of each segment
-            rep_mask = ~same_as_prev
-            rep_scores = jnp.where(rep_mask, seg_score[seg], NEG)
-            top_scores, top_pos = jax.lax.top_k(rep_scores, B)  # positions in sorted order
-            sel = order[top_pos]  # candidate indices
+            rep = jnp.argmax(eqm, axis=1)  # lowest equal index (self if alive)
+            is_rep = (rep == jnp.arange(M)) & alive_f
+            sc = jnp.where(eqm, score_f[None, :], NEG)
+            row_max = sc.max(axis=1)
+            merged = row_max + jnp.log(
+                jnp.maximum(jnp.exp(sc - row_max[:, None]).sum(axis=1), 1e-37)
+            )
+            rep_scores = jnp.where(is_rep, merged, NEG)
+            top_scores, sel = jax.lax.top_k(rep_scores, B)  # flat indices
 
             best = top_scores[0]
             if prune_less_than_val is not None:
@@ -569,20 +575,29 @@ def beam_search_device(
 
             # LM advance for new-token beams.  On frames where NO beam
             # emitted (blank-dominant frames — most of a CTC stream even
-            # after collapse) the whole LM forward is skipped via lax.cond:
-            # adapter.advance is identity on masked rows, so this is exact.
-            # Measured 210 → ~460 frames/s with a 6L/512d transformer LM.
-            lm_state = lm_adapter.gather(state.lm_state, sel_parent)
+            # after collapse) BOTH the LM forward and the physical cache
+            # gather are skipped: the beam reorder composes into the lazy
+            # permutation instead.  adapter.advance is identity on masked
+            # rows, so this is exact.
+            new_perm = state.perm[sel_parent]
             lm_lps_parent = state.lm_lps[sel_parent]
 
-            def _adv(ls):
+            def _adv(_):
+                ls = lm_adapter.gather(state.lm_state, new_perm)
                 ls2, lps_new = lm_adapter.advance(
                     ls, jnp.maximum(sel_tok, 0), sel_new
                 )
-                return ls2, jnp.where(sel_new[:, None], lps_new, lm_lps_parent)
+                return (
+                    ls2,
+                    jnp.where(sel_new[:, None], lps_new, lm_lps_parent),
+                    rows.astype(jnp.int32),  # cache is in beam order again
+                )
 
-            lm_state, lm_lps = jax.lax.cond(
-                sel_new.any(), _adv, lambda ls: (ls, lm_lps_parent), lm_state
+            def _noadv(_):
+                return state.lm_state, lm_lps_parent, new_perm
+
+            lm_state, lm_lps, perm = jax.lax.cond(
+                sel_new.any(), _adv, _noadv, None
             )
 
             new_state = _ScanState(
@@ -594,6 +609,7 @@ def beam_search_device(
                 length=length,
                 lm_lps=lm_lps,
                 lm_state=lm_state,
+                perm=perm,
             )
             return new_state, (sel_parent, sel_tok, sel_new)
 
@@ -603,7 +619,45 @@ def beam_search_device(
         def idle(s):
             return s, idle_ys
 
-        new_state, ys = jax.lax.cond(live, do, idle, state)
+        def do_blank(state):
+            """Fast path for frames where ONLY blank cleared the top_am
+            threshold — the common case on CTC streams even after blank-run
+            collapse.  Every beam extends with blank (key (hash, True));
+            beams sharing a prefix hash merge.  No candidate fan-out, no
+            sort/top-k over M, no LM machinery — exact w.r.t. the full
+            path's result on such frames (up to beam ordering, which the
+            final argsort normalizes)."""
+            alive = state.score > NEG / 2
+            score = state.score + am_row[blank] + blank_penalty
+            eq = (
+                (state.hash_hi[:, None] == state.hash_hi[None, :])
+                & (state.hash_lo[:, None] == state.hash_lo[None, :])
+                & alive[:, None] & alive[None, :]
+            )
+            rep = jnp.argmax(eq, axis=1)
+            is_rep = (rep == rows) & alive
+            sc = jnp.where(eq, score[None, :], NEG)
+            row_max = sc.max(axis=1)
+            merged = row_max + jnp.log(
+                jnp.maximum(jnp.exp(sc - row_max[:, None]).sum(axis=1), 1e-37)
+            )
+            new_score = jnp.where(is_rep, merged, NEG)
+            if prune_less_than_val is not None:
+                best = new_score.max()
+                new_score = jnp.where(
+                    new_score >= best - prune_less_than_val, new_score, NEG
+                )
+            return state._replace(
+                score=new_score, ends_blank=jnp.ones((B,), bool)
+            ), idle_ys
+
+        am_max_s = am_row.max()
+        tok_any = (vals > am_max_s + top_am_threshold).any()
+        blank_ok_s = am_row[blank] > am_max_s + top_am_threshold
+        branch = jnp.where(
+            live & tok_any, 0, jnp.where(live & blank_ok_s, 1, 2)
+        )
+        new_state, ys = jax.lax.switch(branch, [do, do_blank, idle], state)
         # skip-frame safeguard: if every candidate was below threshold the
         # whole beam set would die — keep the previous state instead
         dead = new_state.score[0] < NEG / 2
@@ -623,6 +677,7 @@ def beam_search_device(
         score=state0.score, hash_hi=state0.hash_hi, hash_lo=state0.hash_lo,
         ends_blank=state0.ends_blank, last_token=state0.last_token,
         length=state0.length, lm_lps=state0.lm_lps, lm_state=state0.lm_state,
+        perm=jnp.arange(B, dtype=jnp.int32),
     )
     xs = (jnp.arange(T), log_probs, top_vals, top_idx)
     fin, (parents, toks, news) = jax.lax.scan(step, scan0, xs)
@@ -633,7 +688,9 @@ def beam_search_device(
         score=fin.score, hash_hi=fin.hash_hi, hash_lo=fin.hash_lo,
         ends_blank=fin.ends_blank, last_token=fin.last_token,
         tokens=tokens, length=fin.length, lm_lps=fin.lm_lps,
-        lm_state=fin.lm_state,
+        # materialize the lazy permutation once per call so callers
+        # (segment resume, finalization) always see beam-ordered LM state
+        lm_state=lm_adapter.gather(fin.lm_state, fin.perm),
     )
     if return_state:
         # segmented decoding: finalization happens once at the true end of

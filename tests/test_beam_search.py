@@ -112,6 +112,40 @@ class TestDeviceMatchesHost:
         assert host[0][1] == pytest.approx(float(scores[0]), abs=1e-3)
 
 
+class TestBlankFastPath:
+    """Frames where ONLY blank clears top_am_threshold take the device
+    search's dedicated blank branch (no candidate fan-out, no LM); these
+    inputs make most frames such, and a transformer LM exercises the lazy
+    permutation-carried KV cache across the emit/no-emit boundary."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_blank_dominant_agreement(self, seed):
+        from dynamic_asr_eval_tpu.lm.transformer_lm import (
+            TransformerLMConfig, init_lm,
+        )
+
+        V, blank = 12, 12
+        rng = np.random.default_rng(seed)
+        T = 24
+        lp = np.full((T, V + 1), np.log(0.002 / V), np.float32)
+        lp[:, blank] = np.log(0.998)  # blank-only frames (fast path)
+        for t in range(1, T, 5):  # sparse token spikes (full path + LM)
+            tok = int(rng.integers(1, V))
+            lp[t, tok], lp[t, blank] = np.log(0.9), np.log(0.05)
+        lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
+
+        cfg = TransformerLMConfig(vocab_size=V, n_layers=2, d_model=32,
+                                  n_heads=2, max_cache_length=8)
+        model, variables = init_lm(cfg, jax.random.PRNGKey(3))
+        adapter = TransformerLMAdapter(model, variables, cfg, bos_id=1)
+        kw = dict(beam_width=5, alpha=0.4, beta=1.0, top_am_threshold=-6.0,
+                  prune_less_than_val=None)
+        host = BeamSearchHost(lp, adapter, **kw).run_search()
+        toks, lens, scores = beam_search_device(jnp.asarray(lp), adapter, **kw)
+        assert tuple(np.asarray(toks[0])[: int(lens[0])].tolist()) == host[0][0]
+        assert float(scores[0]) == pytest.approx(host[0][1], abs=2e-3)
+
+
 class TestHash:
     def test_host_device_hash_agree(self):
         seqs = [[1], [3, 5], [7, 7, 2], [100, 4095, 17]]
