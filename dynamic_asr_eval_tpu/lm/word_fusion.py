@@ -26,12 +26,18 @@ TPU-native design: everything stays inside the jitted beam-search scan.
 
 - at end-of-stream the pending partial word is scored as a full word
   (:meth:`WordNGramAdapter.final_scores`, applied by the beam searches at
-  finalization) — pyctcdecode's last-word semantics.
+  finalization) — pyctcdecode's last-word semantics;
+- partial-word lookahead (pyctcdecode ``score_partial_token``): while a word
+  is incomplete, a provisional penalty of ``unk_score_offset ×
+  max(1, len/avg_token_len)`` applies iff the partial is NOT a prefix of any
+  lexicon word (prefix membership via a second sorted hash table over every
+  prefix of every word).  The adapter emits score DELTAS, so the provisional
+  penalty telescopes away when the word closes and is replaced by the real
+  n-gram score — completed-word totals are identical with or without it; only
+  mid-word candidate ranking changes, exactly pyctcdecode's behavior.
 
-Documented divergence from pyctcdecode: no partial-word unigram lookahead
-(pyctcdecode adds a provisional unigram score while a word is incomplete and
-replaces it at the boundary; here incomplete words contribute nothing until
-they close, which reorders candidates only between word boundaries).
+Documented divergence from pyctcdecode: partial length is measured in UTF-8
+bytes, pyctcdecode uses characters (identical for ASCII lexicons).
 """
 
 from __future__ import annotations
@@ -108,15 +114,24 @@ class WordNGramAdapter:
         completed word's score.
     unk_logp : flat penalty when the completed word is OOV and the ARPA has
         no ``<unk>`` entry.
+    unk_score_offset : pyctcdecode's provisional penalty for partials that
+        are not a prefix of any lexicon word (its UNK_SCORE_OFFSET default);
+        ``None`` disables the lookahead.
+    avg_token_len : pyctcdecode's AVG_TOKEN_LEN — partials longer than this
+        scale the penalty by ``len/avg_token_len``.
     """
 
     def __init__(self, word_lm, word_to_id: Dict[str, int], tokenizer,
-                 word_bonus: float = 0.0, unk_logp: float = -20.0):
+                 word_bonus: float = 0.0, unk_logp: float = -20.0,
+                 unk_score_offset: Optional[float] = -10.0,
+                 avg_token_len: int = 6):
         self.lm = word_lm
         self.ctx = max(word_lm.order - 1, 1)
         self.vocab_size = tokenizer.vocab_size()
         self.word_bonus = word_bonus
         self.unk_logp = unk_logp
+        self.unk_score_offset = unk_score_offset
+        self.avg_token_len = avg_token_len
 
         V = self.vocab_size
         mult = np.ones((V,), np.uint64)
@@ -152,6 +167,62 @@ class WordNGramAdapter:
         # <unk>: an id outside the hash space, so later lookups back off
         self.oov_sentinel = self.n_words + 1
 
+        if unk_score_offset is not None:
+            # prefix-membership table for the lookahead: hashes of every
+            # byte-prefix of every lexicon word (pyctcdecode's char trie)
+            prefix_hashes = set()
+            for w in word_to_id:
+                if w.startswith("<"):  # specials: <s> </s> <unk>
+                    continue
+                h = _INC
+                for b in w.encode("utf-8"):
+                    h = (h * _MUL + b + 1) & _M64
+                    prefix_hashes.add(h)
+            ph = np.sort(np.fromiter(prefix_hashes, np.uint64,
+                                     len(prefix_hashes)))
+            self.pf_hi, self.pf_lo = _split64(ph)
+            self.pf_probe = probe_width((ph >> np.uint64(32)).astype(np.uint32))
+            # per-token: partial score of the NEW partial a CLOSING token
+            # starts (its own piece content) — a host-computable constant
+            p_after = np.zeros((V,), np.float32)
+            for i in range(V):
+                piece = tokenizer.id_to_piece(i)
+                if not bool(closes[i]):
+                    continue
+                text = piece[1:] if piece.startswith("▁") else ""
+                p_after[i] = self._host_partial_score(
+                    text, _hash_bytes(text) in prefix_hashes)
+            self.tok_p_after = jnp.asarray(p_after)
+
+    def _host_partial_score(self, text: str, is_prefix: bool) -> float:
+        """pyctcdecode ``score_partial_token`` on host (init-time constants)."""
+        n = len(text.encode("utf-8"))
+        if n == 0 or is_prefix:
+            return 0.0
+        s = float(self.unk_score_offset)
+        if n > self.avg_token_len:
+            s *= n / self.avg_token_len
+        return s
+
+    # -- device partial-word lookahead ---------------------------------------
+    def _partial_scores(self, h_hi, h_lo, blen):
+        """pyctcdecode ``score_partial_token`` on device: provisional penalty
+        for partials that are no lexicon word's prefix, length-scaled past
+        ``avg_token_len``.  Any shape; returns matching f32."""
+        if self.unk_score_offset is None:
+            return jnp.zeros(blen.shape, jnp.float32)
+        n = self.pf_hi.shape[0]
+        left = jnp.searchsorted(self.pf_hi, h_hi, side="left")
+        idxs = jnp.clip(left[..., None] + jnp.arange(self.pf_probe), 0, n - 1)
+        found = (
+            (self.pf_hi[idxs] == h_hi[..., None])
+            & (self.pf_lo[idxs] == h_lo[..., None])
+        ).any(-1)
+        scale = jnp.maximum(blen.astype(jnp.float32) / self.avg_token_len, 1.0)
+        return jnp.where(
+            found | (blen <= 0), 0.0, self.unk_score_offset * scale
+        )
+
     # -- device word-id lookup ----------------------------------------------
     def _word_id(self, h_hi, h_lo):
         n = self.wh_hi.shape[0]
@@ -167,11 +238,9 @@ class WordNGramAdapter:
         return any_hit, self.wh_ids[sel]
 
     # -- lm_lps from state ----------------------------------------------------
-    def _close_scores(self, state):
-        """[B, V]: LM score added if token v is emitted — the completed
-        word's n-gram score at closing tokens, 0 elsewhere."""
-        hist, hlen, h_hi, h_lo, wlen = state
-        B = hist.shape[0]
+    def _close_of(self, hist, hlen, h_hi, h_lo, wlen):
+        """[B]: n-gram score (+ word bonus) of closing the current partial
+        word, 0 when nothing is pending."""
         found, wid = self._word_id(h_hi, h_lo)
         if self.unk_id >= 0:
             wid_eff = jnp.where(found, wid, self.unk_id)
@@ -183,8 +252,31 @@ class WordNGramAdapter:
                 self.unk_logp,
             )
         close = close + self.word_bonus
-        close = jnp.where(wlen > 0, close, 0.0)  # nothing to close yet
-        return jnp.where(self.tok_closes[None, :], close[:, None], 0.0)
+        return jnp.where(wlen > 0, close, 0.0)  # nothing to close yet
+
+    def _lm_lps(self, state):
+        """[B, V]: score DELTA added if token v is emitted.  Closing tokens:
+        completed word's n-gram score, minus the provisional partial penalty
+        being replaced, plus the new partial's penalty (the piece's own
+        content).  Non-closing tokens: the change in partial penalty.  Deltas
+        telescope, so completed-word totals never see the lookahead."""
+        hist, hlen, h_hi, h_lo, wlen, p_cur = state
+        close = self._close_of(hist, hlen, h_hi, h_lo, wlen)
+        base = jnp.where(self.tok_closes[None, :], close[:, None], 0.0)
+        if self.unk_score_offset is None:
+            return base
+        ext_hi, ext_lo = _muladd64(
+            h_hi[:, None], h_lo[:, None],
+            self.tok_mult_hi[None, :], self.tok_mult_lo[None, :],
+            self.tok_add_hi[None, :], self.tok_add_lo[None, :],
+        )
+        p_ext = self._partial_scores(
+            ext_hi, ext_lo, wlen[:, None] + self.tok_blen[None, :]
+        )
+        p_next = jnp.where(
+            self.tok_closes[None, :], self.tok_p_after[None, :], p_ext
+        )
+        return base + p_next - p_cur[:, None]
 
     def init_state(self, batch: int):
         hist = jnp.full((batch, self.ctx), -1, jnp.int32)
@@ -195,11 +287,12 @@ class WordNGramAdapter:
         h_hi = jnp.full((batch,), jnp.uint32(_INC >> 32))
         h_lo = jnp.full((batch,), jnp.uint32(_INC & 0xFFFFFFFF))
         wlen = jnp.zeros((batch,), jnp.int32)
-        state = (hist, hlen, h_hi, h_lo, wlen)
-        return state, self._close_scores(state)
+        p_cur = jnp.zeros((batch,), jnp.float32)
+        state = (hist, hlen, h_hi, h_lo, wlen, p_cur)
+        return state, self._lm_lps(state)
 
     def advance(self, state, tokens, mask):
-        hist, hlen, h_hi, h_lo, wlen = state
+        hist, hlen, h_hi, h_lo, wlen, p_cur = state
         tokens = tokens.astype(jnp.int32)
         closes = self.tok_closes[tokens] & mask
         closing_real = closes & (wlen > 0)
@@ -229,29 +322,22 @@ class WordNGramAdapter:
         h_hi = jnp.where(mask, ext_hi, h_hi)
         h_lo = jnp.where(mask, ext_lo, h_lo)
         wlen = jnp.where(mask, new_wlen, wlen)
+        if self.unk_score_offset is not None:
+            p_cur = jnp.where(
+                mask, self._partial_scores(h_hi, h_lo, wlen), p_cur
+            )
 
-        state = (hist, hlen, h_hi, h_lo, wlen)
-        return state, self._close_scores(state)
+        state = (hist, hlen, h_hi, h_lo, wlen, p_cur)
+        return state, self._lm_lps(state)
 
     def gather(self, state, idx):
         return tuple(x[idx] for x in state)
 
     def final_scores(self, state):
-        """[B]: end-of-stream score of the pending PARTIAL word, as if a
-        closing token were emitted — pyctcdecode scores the final word of an
-        utterance at finalization; without this the last word of every
-        recording goes unscored.  The beam search adds ``alpha ×`` this to
-        the final beam scores (no ``beta``: no token is emitted)."""
-        hist, hlen, h_hi, h_lo, wlen = state
-        found, wid = self._word_id(h_hi, h_lo)
-        if self.unk_id >= 0:
-            wid_eff = jnp.where(found, wid, self.unk_id)
-            close = self.lm.score_candidates(hist, hlen, wid_eff[:, None])[:, 0]
-        else:
-            close = jnp.where(
-                found,
-                self.lm.score_candidates(hist, hlen, wid[:, None])[:, 0],
-                self.unk_logp,
-            )
-        close = close + self.word_bonus
-        return jnp.where(wlen > 0, close, 0.0)
+        """[B]: end-of-stream delta — score the pending PARTIAL word as a
+        full word (pyctcdecode finalization; without this the last word of
+        every recording goes unscored) and retire its provisional lookahead
+        penalty.  The beam search adds ``alpha ×`` this to the final beam
+        scores (no ``beta``: no token is emitted)."""
+        hist, hlen, h_hi, h_lo, wlen, p_cur = state
+        return self._close_of(hist, hlen, h_hi, h_lo, wlen) - p_cur

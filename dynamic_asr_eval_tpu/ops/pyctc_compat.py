@@ -60,7 +60,8 @@ class CTCDecoder:
 
 def build_ctcdecoder(tokenizer, kenlm_model_path: Optional[str] = None,
                      alpha: float = 0.45, beta: float = 1.53,
-                     lm_level: str = "auto") -> CTCDecoder:
+                     lm_level: str = "auto",
+                     unk_score_offset: Optional[float] = -10.0) -> CTCDecoder:
     """Reference-call-shape constructor; loads an ARPA (optionally .gz) into
     device tables when given.
 
@@ -68,7 +69,11 @@ def build_ctcdecoder(tokenizer, kenlm_model_path: Optional[str] = None,
     tokenizer pieces); ``"word"`` builds word-boundary KenLM semantics
     (reference ``4gram_big.arpa.gz`` against a char/subword AM vocab,
     ``wav2vec2/tedlium/run.py:127-133``); ``"auto"`` picks word-level when
-    fewer than half the ARPA's unigrams are tokenizer pieces."""
+    fewer than half the ARPA's unigrams are tokenizer pieces.
+
+    ``unk_score_offset``: pyctcdecode's provisional mid-word penalty for
+    partials outside the lexicon's prefix set (word-level fusion only;
+    ``None`` disables the lookahead)."""
     if not kenlm_model_path:
         return CTCDecoder(tokenizer, None, alpha, beta)
 
@@ -98,7 +103,8 @@ def build_ctcdecoder(tokenizer, kenlm_model_path: Optional[str] = None,
     # pyctcdecode's beta is per word; the beam multiplies lm_lps by alpha,
     # so the adapter's bonus is beta/alpha to come out as +beta per word
     bonus = beta / alpha if alpha else 0.0
-    adapter = WordNGramAdapter(word_lm, word_to_id, tokenizer, word_bonus=bonus)
+    adapter = WordNGramAdapter(word_lm, word_to_id, tokenizer, word_bonus=bonus,
+                               unk_score_offset=unk_score_offset)
     return CTCDecoder(tokenizer, None, alpha, beta, word_adapter=adapter)
 
 

@@ -82,7 +82,7 @@ class TestWordAdapter:
         for ch in "cat":
             ids = jnp.asarray([tok.encode(ch)[0]], jnp.int32)
             state, _ = ad.advance(state, ids, jnp.asarray([True]))
-        _, _, h_hi, h_lo, wlen = state
+        _, _, h_hi, h_lo, wlen, _ = state
         h = (int(h_hi[0]) << 32) | int(h_lo[0])
         assert h == _hash_bytes("cat")
         assert int(wlen[0]) == 3
@@ -178,6 +178,68 @@ class TestWordAdapter:
                 state, jnp.asarray([tid], jnp.int32), jnp.asarray([True])
             )
         assert total == pytest.approx(-20.0, abs=1e-4)
+
+    def test_partial_lookahead_penalizes_oov_prefix_midword(self, toy_arpa):
+        """pyctcdecode score_partial_token: mid-word, a partial that is no
+        lexicon word's prefix carries a provisional unk penalty; an in-vocab
+        prefix carries none.  Telescoping removes it at the boundary."""
+        tok = CharTokenizer()
+        lm, w2i = load_word_arpa(toy_arpa)
+        ad = WordNGramAdapter(lm, w2i, tok, unk_score_offset=-10.0)
+
+        def drive(text):
+            state, lps = ad.init_state(1)
+            total = 0.0
+            for ch in text:
+                tid = tok.encode(ch)[0]
+                total += float(lps[0, tid])
+                state, lps = ad.advance(
+                    state, jnp.asarray([tid], jnp.int32), jnp.asarray([True])
+                )
+            return total, state
+
+        in_vocab, _ = drive("ca")   # prefix of 'cat' → no penalty
+        oov, _ = drive("cx")        # no lexicon word starts with 'cx'
+        assert in_vocab == pytest.approx(0.0, abs=1e-5)
+        assert oov == pytest.approx(-10.0, abs=1e-5)
+
+        # penalty scales past AVG_TOKEN_LEN (6): 8 bytes → ×8/6
+        long_oov, _ = drive("cxxxxxxx")
+        assert long_oov == pytest.approx(-10.0 * 8 / 6, abs=1e-4)
+
+        # ...and telescopes away once the word closes: the completed-word
+        # total equals pure backoff scoring regardless of the lookahead
+        closed, state = drive("cxxxxxxx ")
+        no_la = WordNGramAdapter(lm, w2i, tok, unk_score_offset=None,
+                                 unk_logp=-20.0)
+        ref_total = 0.0
+        st2, lps2 = no_la.init_state(1)
+        for ch in "cxxxxxxx ":
+            tid = tok.encode(ch)[0]
+            ref_total += float(lps2[0, tid])
+            st2, lps2 = no_la.advance(
+                st2, jnp.asarray([tid], jnp.int32), jnp.asarray([True])
+            )
+        assert closed == pytest.approx(ref_total, abs=1e-4)
+
+    def test_partial_lookahead_final_scores_retire_penalty(self, toy_arpa):
+        """Ending mid-word: final_scores must both score the pending word AND
+        retire the provisional penalty, matching the no-lookahead total."""
+        tok = CharTokenizer()
+        lm, w2i = load_word_arpa(toy_arpa)
+        for offset in (-10.0, None):
+            ad = WordNGramAdapter(lm, w2i, tok, unk_score_offset=offset)
+            state, lps = ad.init_state(1)
+            total = 0.0
+            for ch in "the zq":  # ends inside OOV partial 'zq'
+                tid = tok.encode(ch)[0]
+                total += float(lps[0, tid])
+                state, lps = ad.advance(
+                    state, jnp.asarray([tid], jnp.int32), jnp.asarray([True])
+                )
+            total += float(ad.final_scores(state)[0])
+            expect = brute_force_word_score(["the", "zq"], UNIS, BIS)
+            assert total == pytest.approx(expect, abs=1e-4), offset
 
     def test_history_survives_gather(self, toy_arpa):
         tok = CharTokenizer()
