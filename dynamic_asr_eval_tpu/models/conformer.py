@@ -68,6 +68,11 @@ class ConformerConfig:
     dropout_conv: float = 0.0
     compute_dtype: Any = jnp.bfloat16
     attention_impl: str = "xla"  # "xla" | "pallas_flash" (kernels.attention)
+    # materialize the [B, H, T, S] attention logits in compute_dtype instead
+    # of f32 (MXU accumulation stays f32; softmax runs on the narrow tensor).
+    # The NSTI adapt step is HBM-bound and these tensors are its largest
+    # f32 residents — see PERF.md round-3 trace attribution
+    attention_logits_in_compute_dtype: bool = False
     # "conv": lax.conv_general_dilated (stride-2 convs on the MXU/conv unit)
     # "xla": 9-term broadcast tap sums (VPU work; the round-2 formulation)
     # "pallas": fused VMEM kernel (kernels.subsample; factor-8 stacks with
@@ -523,6 +528,8 @@ class MHSA(nn.Module):
             logits = jnp.einsum(
                 "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
             ) * scale
+            if cfg.attention_logits_in_compute_dtype:
+                logits = logits.astype(cfg.compute_dtype)
             if cfg.seq_shard_axes is not None:
                 # sequence parallelism: keep the [B, H, T, S] score matrix
                 # sharded over the QUERY time axis — K/V are all-gathered
@@ -534,7 +541,7 @@ class MHSA(nn.Module):
                 logits = _try_constraint(
                     logits, PartitionSpec(b_ax, None, s_ax, None)
                 )
-            bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
+            bias = jnp.where(mask[:, None, None, :], 0.0, -1e30).astype(logits.dtype)
             attn = jax.nn.softmax(logits + bias, axis=-1).astype(cfg.compute_dtype)
             out = jnp.einsum("bhts,bshd->bthd", attn, v)
         out = out.reshape(B, T, H * D)

@@ -103,6 +103,24 @@ class TestConformerForward:
         assert all(np.isfinite(np.asarray(t)).all() for t in flat)
         assert any(float(jnp.abs(t).max()) > 0 for t in flat)
 
+    def test_bf16_attention_logits_close_to_f32(self):
+        """attention_logits_in_compute_dtype narrows only the materialized
+        [B,H,T,S] score tensor; outputs must stay within bf16 noise of the
+        f32-scores path (same params)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, compute_dtype=jnp.bfloat16)
+        model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=64)
+        cfg_bf = dataclasses.replace(cfg, attention_logits_in_compute_dtype=True)
+        model_bf = SCConformer(cfg_bf)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2, 16, 64)), jnp.float32
+        )
+        lp = np.asarray(model.apply(variables, x)["final_posteriors"])
+        lp_bf = np.asarray(model_bf.apply(variables, x)["final_posteriors"])
+        assert np.max(np.abs(lp - lp_bf)) < 0.15
+        np.testing.assert_allclose(np.exp(lp_bf).sum(-1), 1.0, rtol=1e-2)
+
     def test_rotary_changes_output(self):
         cfg_no = ConformerConfig(
             feat_in=16, n_layers=1, d_model=32, n_heads=2, head_dim=16,
