@@ -1,0 +1,103 @@
+"""End-to-end smoke drives of the protocol eval drivers (SURVEY §1 L4).
+
+Each test invokes a driver's real CLI entry point on the synthetic dataset
+with the small default model and asserts it completes and writes its result
+artifacts.  This is the pytest counterpart of the manual "CLI drive"
+verification the component map cites — protocol orchestration (fold
+construction, concat passes, LOO pairing, sweep loops) runs for real.
+"""
+
+import os
+import pickle
+
+import pytest
+
+KW = ["-kwargs", "epochs=1", "online=true", "seq_len=256", "overlap=128"]
+
+
+def _load_pickles(tmp_path):
+    out = []
+    for name in sorted(os.listdir(tmp_path)):
+        if name.endswith(".pkl"):
+            with open(tmp_path / name, "rb") as f:
+                out.append(pickle.load(f))
+    return out
+
+
+class TestPerRecordingDrivers:
+    def test_run(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run import cli
+
+        wer = cli(["-d", "synthetic", "--quiet",
+                   "-s", str(tmp_path / "r.pkl")] + KW)
+        assert 0.0 <= wer < 10.0
+        (p,) = _load_pickles(tmp_path)
+        assert "wer" in p and "ins_rate" in p
+
+    def test_run_dynamic_eval_full(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_dynamic_eval_full import cli
+
+        wer = cli(["-d", "synthetic", "--quiet",
+                   "-s", str(tmp_path / "r.pkl")] + KW)
+        assert 0.0 <= wer < 10.0
+
+
+class TestProtocolDrivers:
+    def test_in_dataset(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_in_dataset_eval import cli
+
+        wer = cli(["-d", "synthetic", "--quiet",
+                   "-s", str(tmp_path / "r.pkl")] + KW)
+        assert 0.0 <= wer < 10.0
+
+    def test_cross_dataset(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_cross_dataset_eval import cli
+
+        cli(["-da", "synthetic", "-db", "synthetic", "--quiet",
+             "-s", str(tmp_path / "r.pkl")] + KW)
+        (p,) = _load_pickles(tmp_path)
+        assert "a_to_b" in p and "a_to_a_loo" in p and "baselines" in p
+
+    def test_half_concat(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_half_concat_eval import cli
+
+        cli(["-d", "synthetic", "--quiet",
+             "-s", str(tmp_path / "r.pkl")] + KW)
+        (p,) = _load_pickles(tmp_path)
+        assert "folds" in p and len(p["folds"]) == 2
+
+    def test_whole_concat(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_whole_concat_eval import cli
+
+        cli(["-d", "synthetic", "--quiet",
+             "-s", str(tmp_path / "r.pkl")] + KW)
+
+    def test_within_recording_loo(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_within_recording_loo_eval import cli
+
+        cli(["-d", "synthetic", "--quiet", "--loo_seq_len", "256",
+             "--loo_overlap", "128", "-s", str(tmp_path / "r.pkl")] + KW)
+
+    def test_seq_scaling(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_seq_eval import cli
+
+        cli(["-d", "synthetic", "--quiet", "--nsti_seq_len", "256",
+             "-s", str(tmp_path / "r.pkl")] + KW)
+
+
+class TestSweep:
+    def test_offline_sweep(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_sweep import cli
+
+        cfg = tmp_path / "sweep.yaml"
+        cfg.write_text(
+            "method: grid\n"
+            "metric: {name: WER, goal: minimize}\n"
+            "parameters:\n"
+            "  optim_lr: {values: [9.0e-5, 3.0e-5]}\n"
+        )
+        out = tmp_path / "results.jsonl"
+        best = cli(["-sc", str(cfg), "--no_wandb", "--out", str(out),
+                    "--quiet", "-d", "synthetic"] + KW)
+        assert "WER" in best and "optim_lr" in best["overrides"]
+        assert len(out.read_text().strip().splitlines()) == 2
