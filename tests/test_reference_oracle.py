@@ -238,3 +238,129 @@ def test_nsti_single_window_recording():
 
     assert j_logits.shape == t_logits.shape, (j_logits.shape, t_logits.shape)
     assert np.abs(j_logits - t_logits).max() < LOGITS_TOL
+
+
+# ---------------------------------------------------------------------------
+# AWMC mini-oracle (lcasr/lib.py:206-376): anchor/leader EMA pseudo-label
+# banks, inner per-chunk epoch loop, dual-bank CTC normalized by N·B·2.
+# ---------------------------------------------------------------------------
+
+
+def torch_awmc(model, spec, seq_len, overlap, lr, epochs, ema_decay):
+    """Reference ``AWMC`` control flow with augmentation off.
+
+    Per chunk (``lcasr/lib.py:281-349``): epoch 0 decodes pseudo-labels with
+    the *anchor* (EMA decay 1.0 — the original weights, ``:248``) and keeps
+    them for every inner epoch; each epoch decodes with the *leader* EMA
+    (decay ``ema_decay``, ``:245``); the student forwards the (here:
+    un-augmented) chunk and takes a summed CTC loss against both banks
+    divided by ``frames × batch × 2`` (``:322-330``); MADGRAD step, then the
+    leader EMA updates (``:335-337``); after the last epoch a clean no-grad
+    forward with the adapted weights is stitched (``:339-349``).
+    """
+    blank = model.decoder.num_classes - 1
+    V = model.decoder.num_classes
+    spec_n = spec.shape[-1]
+    if seq_len > spec_n:
+        seq_len, overlap = spec_n, 0
+    ctc_loss_fn = torch.nn.CTCLoss(blank=blank, reduction="sum")
+    optimizer = TorchMadgrad(model.parameters(), lr=lr)
+    model.eval()
+    anchor = [p.detach().clone() for p in model.parameters()]
+    leader = [p.detach().clone() for p in model.parameters()]
+
+    def decode_with(weights, chunk):
+        backup = [p.detach().clone() for p in model.parameters()]
+        with torch.no_grad():
+            for p, q in zip(model.parameters(), weights):
+                p.copy_(q)
+            lp = model(audio_signal=chunk)["final_posteriors"]
+            for p, b in zip(model.parameters(), backup):
+                p.copy_(b)
+        return _greedy_ids(lp[-1], blank)
+
+    model_outputs = {}
+    for i, chunk in _prepare_chunks(spec, seq_len, overlap).items():
+        bank = [None, None]
+        for j in range(epochs):
+            if j == 0:
+                bank[0] = decode_with(anchor, chunk)
+            bank[1] = decode_with(leader, chunk)
+            out = model(audio_signal=chunk)["final_posteriors"]  # student fwd
+            labels = [b for b in bank if len(b) > 0]
+            assert labels, "oracle fixture hit the empty-bank edge; reseed"
+            N, B = out.shape[1], out.shape[0]
+            lab_lens = torch.LongTensor([len(b) for b in labels])
+            padded = torch.zeros(len(labels), int(lab_lens.max()), dtype=torch.long)
+            for r, b in enumerate(labels):
+                padded[r, : len(b)] = torch.LongTensor(b)
+            loss = ctc_loss_fn(
+                out.repeat(len(labels), 1, 1).transpose(0, 1), padded,
+                torch.LongTensor([N] * len(labels)), lab_lens,
+            ) / (N * B * 2)
+            optimizer.zero_grad()
+            loss.backward()
+            optimizer.step()
+            with torch.no_grad():
+                for e, p in zip(leader, model.parameters()):
+                    e.mul_(ema_decay).add_((1.0 - ema_decay) * p)
+            if j == epochs - 1:
+                with torch.no_grad():
+                    fin = model(audio_signal=chunk)["final_posteriors"]
+                logits = fin[0].exp()
+                ds_len = logits.shape[-2]
+                model_outputs[i] = (
+                    logits, ds_len, int(overlap / (chunk.shape[-1] / ds_len))
+                )
+
+    all_logits = torch.zeros(spec_n // DS + seq_len, V)
+    counts = torch.zeros(spec_n // DS + seq_len)
+    pos = 0
+    for j, i in enumerate(sorted(model_outputs.keys())):
+        logits, ds_len, overlap_ds = model_outputs[i]
+        pos -= overlap_ds if j != 0 else 0
+        all_logits[pos : pos + ds_len] += logits
+        counts[pos : pos + ds_len] += 1
+        pos += ds_len
+    keep = counts > 0
+    stitched = torch.log(all_logits[keep] / counts[keep, None])
+    return stitched.numpy(), model
+
+
+def _run_jax_awmc(cfg, variables, spec_np, seq_len, overlap, lr, epochs,
+                  ema_decay):
+    from dynamic_asr_eval_tpu.tta.awmc import AWMCEngine
+
+    tta = TTAConfig(seq_len=seq_len, overlap=overlap, epochs=epochs,
+                    online=True, shuffle=False, lm_tta_beams=0,
+                    ema_decay=ema_decay, optim_args={"lr": lr})
+    engine = AWMCEngine(
+        SCConformer(cfg), cfg.blank_id, cfg.subsampling_factor, tta,
+    )
+    out = engine(variables, spec_np, seq_len, overlap, return_params=True)
+    return out.numpy_logits(), out.params
+
+
+@pytest.mark.parametrize("epochs", [1, 2])
+def test_awmc_loop_parity(epochs):
+    """5-window recording: the AWMC-adapted parameters and stitched logit
+    matrix must match the torch reference control flow to fp32 tolerance.
+    epochs=2 exercises the inner per-chunk epoch loop — the anchor bank
+    persisting across epochs while the leader bank refreshes."""
+    tm, cfg, variables = _setup(seed=3)
+    lr, ema_decay = 1e-3, 0.9
+    spec = np.random.default_rng(3).standard_normal((16, 160)).astype(np.float32)
+
+    j_logits, j_params = _run_jax_awmc(
+        cfg, variables, spec, 64, 32, lr, epochs, ema_decay)
+    t_logits, tm = torch_awmc(
+        tm, torch.from_numpy(spec)[None], 64, 32, lr, epochs, ema_decay)
+
+    assert j_logits.shape == t_logits.shape, (j_logits.shape, t_logits.shape)
+    assert np.abs(j_logits - t_logits).max() < LOGITS_TOL, \
+        np.abs(j_logits - t_logits).max()
+    base = variables["params"]
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), base, j_params)))
+    assert moved > 1e-6, "AWMC did not change parameters"
+    assert _param_delta(tm, j_params) < BLANK_OFFSETS_TOL
