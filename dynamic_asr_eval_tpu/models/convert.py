@@ -148,6 +148,53 @@ def convert_lcasr_checkpoint(
     return variables, unmatched
 
 
+# attention-decoder (enc-dec) naming: encoder under an ``encoder.`` prefix
+# (lcasr rules above), decoder as embed / pos_enc / dec_layers.N / ln_f / head
+ENCDEC_DECODER_RULES: List[Tuple[str, Optional[str], Optional[Callable]]] = [
+    (r"embed\.weight", "language_model_decoder/embed/embedding", identity),
+    (r"pos_enc\.weight", "language_model_decoder/pos_enc/embedding", identity),
+    (r"dec_layers\.(\d+)\.(ln_self|ln_cross|ln_ff)\.weight",
+     r"language_model_decoder/layer_\1/\2/scale", identity),
+    (r"dec_layers\.(\d+)\.(ln_self|ln_cross|ln_ff)\.bias",
+     r"language_model_decoder/layer_\1/\2/bias", identity),
+    (r"dec_layers\.(\d+)\.(self_qkv|self_out|cross_q|cross_kv|cross_out|ff_in|ff_out)\.weight",
+     r"language_model_decoder/layer_\1/\2/kernel", t_dense),
+    (r"dec_layers\.(\d+)\.(ff_in|ff_out)\.bias",
+     r"language_model_decoder/layer_\1/\2/bias", identity),
+    (r"ln_f\.weight", "language_model_decoder/ln_f/scale", identity),
+    (r"ln_f\.bias", "language_model_decoder/ln_f/bias", identity),
+    (r"head\.weight", "language_model_decoder/head/kernel", t_dense),
+    (r"head\.bias", "language_model_decoder/head/bias", identity),
+]
+
+
+def convert_encdec_checkpoint(
+    state: Dict[str, np.ndarray],
+    default_norm: str = "layer_norm",
+) -> Tuple[Dict, List[str]]:
+    """Enc-dec (attention decoder + joint CTC) torch checkpoint → flax
+    ``variables`` for ``EncDecConformer``.  Encoder keys (``encoder.*``) run
+    through the lcasr conformer rules; decoder keys through
+    ``ENCDEC_DECODER_RULES``.  Value-level fidelity is proven by the torch
+    oracle (``tests/test_encdec_oracle.py``)."""
+    import jax
+    import jax.numpy as jnp
+
+    enc_state = {
+        k[len("encoder."):]: v for k, v in state.items()
+        if k.startswith("encoder.")
+    }
+    dec_state = {k: v for k, v in state.items() if not k.startswith("encoder.")}
+    enc_vars, unmatched_enc = convert_lcasr_checkpoint(enc_state, default_norm)
+    dec_tree, unmatched_dec = convert_state_dict(dec_state, ENCDEC_DECODER_RULES)
+    params = {"encoder": enc_vars["params"], **dec_tree}
+    variables = {"params": jax.tree.map(jnp.asarray, params)}
+    if "batch_stats" in enc_vars:
+        variables["batch_stats"] = {"encoder": enc_vars["batch_stats"]}
+    unmatched = [f"encoder.{k}" for k in unmatched_enc] + unmatched_dec
+    return variables, unmatched
+
+
 def parity_report(model, variables, converted_params, example_input) -> float:
     """Max |Δ final log-prob| between the randomly-initialized and converted
     parameter sets on the same input — the SURVEY.md §7.2 parity harness

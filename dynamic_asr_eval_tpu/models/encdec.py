@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dynamic_asr_eval_tpu.models.conformer import (
+    LN_EPS,
     ConformerConfig,
     SCConformer,
     lengths_to_mask,
@@ -69,7 +70,7 @@ class DecoderBlock(nn.Module):
         B, T, _ = x.shape
 
         # causal self-attention (with optional KV ring cache for generation)
-        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32, name="ln_self")(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, param_dtype=jnp.float32, name="ln_self")(x)
         qkv = nn.Dense(3 * H * D, use_bias=False, dtype=x.dtype,
                        param_dtype=jnp.float32, name="self_qkv")(h)
         q, k, v = jnp.split(qkv.reshape(B, T, 3, H, D), 3, axis=2)
@@ -105,7 +106,7 @@ class DecoderBlock(nn.Module):
         x = x + out
 
         # cross-attention
-        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32, name="ln_cross")(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, param_dtype=jnp.float32, name="ln_cross")(x)
         qc = nn.Dense(H * D, use_bias=False, dtype=x.dtype,
                       param_dtype=jnp.float32, name="cross_q")(h)
         kvc = nn.Dense(2 * H * D, use_bias=False, dtype=x.dtype,
@@ -124,7 +125,7 @@ class DecoderBlock(nn.Module):
         x = x + out
 
         # FF
-        h = nn.LayerNorm(dtype=x.dtype, param_dtype=jnp.float32, name="ln_ff")(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=x.dtype, param_dtype=jnp.float32, name="ln_ff")(x)
         h = nn.Dense(cfg.decoder_d_model * cfg.decoder_ff_mult, dtype=x.dtype,
                      param_dtype=jnp.float32, name="ff_in")(h)
         h = jax.nn.gelu(h)
@@ -170,7 +171,7 @@ class LanguageModelDecoder(nn.Module):
             )
             if nc is not None:
                 new_caches.append(nc)
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, param_dtype=jnp.float32, name="ln_f")(x)
         logits = nn.Dense(cfg.vocab_size, dtype=jnp.float32,
                           param_dtype=jnp.float32, name="head")(x)
         out = {"logits": logits}

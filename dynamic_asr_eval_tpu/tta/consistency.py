@@ -11,7 +11,12 @@ Capability parity with ``dynamic_eval_consistency_ctc_loss``
   not applied (``:795-805``);
 - after the epoch, gradients are shared across chunks with distance decay
   ``0.95^|i-q|`` and renormalized by ``1 + Σ decay`` (``:817-848``), then
-  every chunk's optimizer steps (``:850-853``);
+  every chunk's optimizer steps (``:850-853``).  The reference's mixing loop
+  mutates ``param.grad`` IN PLACE as it walks chunks in ascending order
+  (``:843``), so chunk ``i`` mixes against the already-mixed gradients of
+  chunks ``q < i`` and the raw gradients of ``q > i`` — we reproduce those
+  exact semantics by composing the sequential row operations into one mixing
+  matrix (``sequential_mix_matrix``) applied as a single matmul per leaf;
 - the final pass evaluates each chunk with its own adapted parameters and
   stitches as usual.  (The reference's final pass contains a no-op parameter
   install — ``p_cur.data.to(...)`` without assignment, ``lcasr/lib.py:858`` —
@@ -43,6 +48,42 @@ import optax
 from dynamic_asr_eval_tpu.augment import apply_augmentation_pipeline
 from dynamic_asr_eval_tpu.ops.ctc import ctc_loss, greedy_labels
 from dynamic_asr_eval_tpu.tta.runner import DynamicEvalEngine, EngineOutput
+
+
+def sequential_mix_matrix(
+    chunk_mask: jnp.ndarray, decay: float
+) -> jnp.ndarray:
+    """Exact matrix form of the reference's in-place gradient-sharing loop
+    (``lcasr/lib.py:817-848``).
+
+    The reference walks real chunks in ascending order and overwrites each
+    chunk's gradient with the decay-weighted mix BEFORE later chunks read it:
+
+        g_i  ←  (g_i + Σ_{q<i} d_iq·ĝ_q + Σ_{q>i} d_iq·g_q) / s_i,
+        d_iq = decay^|i-q|,   s_i = 1 + Σ_{q≠i} d_iq,
+
+    where ``ĝ_q`` are the already-overwritten rows.  Each step is a linear
+    row operation, so the whole pass composes into one matrix ``L`` with
+    ``Ĝ = L @ G`` — built here by forward substitution.  Masked (padding)
+    chunks get identity rows and are excluded from every sum, matching the
+    reference where padding chunks simply don't exist.
+    """
+    N = chunk_mask.shape[0]
+    pos = jnp.arange(N)
+    D = decay ** jnp.abs(pos[:, None] - pos[None, :]).astype(jnp.float32)
+    D = D * chunk_mask[None, :] * chunk_mask[:, None]
+    D = D - jnp.diag(jnp.diag(D))  # off-diagonal decay weights only
+    s = 1.0 + D.sum(axis=1)  # 1 (self) + Σ decay   (lcasr/lib.py:827,833)
+    eye = jnp.eye(N, dtype=jnp.float32)
+
+    def body(i, L):
+        below = (pos < i).astype(jnp.float32)
+        # q < i contribute their already-mixed rows L[q]; q > i their raw e_q
+        row = (eye[i] + (D[i] * below) @ L + D[i] * (1.0 - below)) / s[i]
+        row = jnp.where(chunk_mask[i] > 0, row, eye[i])
+        return L.at[i].set(row)
+
+    return jax.lax.fori_loop(0, N, body, eye)
 
 
 class ConsistencyEngine(DynamicEvalEngine):
@@ -108,13 +149,8 @@ class ConsistencyEngine(DynamicEvalEngine):
             opt_states = jax.vmap(self.optimizer.init)(stacked)
 
             chunk_mask = (lengths > 0).astype(jnp.float32)  # [N]
-            # decay matrix over *chunk order* positions, masked to real chunks
-            pos = jnp.arange(N)
-            Wd = self.decay_per_distance ** jnp.abs(pos[:, None] - pos[None, :])
-            Wd = Wd * chunk_mask[None, :] * chunk_mask[:, None]
-            # row normalization: 1 (self) + Σ_{q≠i} decay  (lcasr/lib.py:833-838)
-            row_sum = 1.0 + (Wd.sum(axis=1) - jnp.diag(Wd))
-            Wn = Wd / jnp.maximum(row_sum[:, None], 1.0)
+            # the reference's sequential in-place mixing as one matrix
+            Wn = sequential_mix_matrix(chunk_mask, self.decay_per_distance)
 
             def epoch_body(carry, ekey):
                 stacked, opt_states = carry

@@ -341,6 +341,176 @@ def _run_jax_awmc(cfg, variables, spec_np, seq_len, overlap, lr, epochs,
     return out.numpy_logits(), out.params
 
 
+# ---------------------------------------------------------------------------
+# Consistency mini-oracle (lcasr/lib.py:646-903): per-chunk parameter
+# collections, sequential in-place distance-decay gradient sharing, per-chunk
+# optimizer steps after each epoch.
+# ---------------------------------------------------------------------------
+
+
+def torch_consistency(model, spec, seq_len, overlap, lr, epochs, online):
+    """Reference ``dynamic_eval_consistency_ctc_loss`` control flow with
+    augmentation off and MADGRAD injected as the per-chunk optimizer (the
+    reference's Adafactor default is an optimizer *choice*, ``:654``; the
+    oracle pins both sides to the already-validated MADGRAD so it tests the
+    consistency CONTROL FLOW: per-chunk params/optimizers ``:733-737``,
+    grads stored not applied ``:795-805``, sequential in-place fp64 mixing
+    ``:817-848``, per-chunk steps ``:850-853``).
+
+    Two reference quirks reproduced/diverged deliberately:
+    - online mode does NOT clamp the epoch loop (``:742`` re-reads
+      ``args.epochs``, ignoring the ``epochs = 1 if online`` local) — each
+      epoch overwrites ``model_outputs`` so the stitch uses the last epoch;
+    - the offline final pass's parameter install is a no-op in the reference
+      (``p_cur.data.to(...)`` unassigned, ``:858``) so it accidentally reuses
+      the last-trained chunk's live weights; like the engine we implement the
+      evident intent — each chunk evaluated with its own adapted parameters.
+    """
+    blank = model.decoder.num_classes - 1
+    V = model.decoder.num_classes
+    spec_n = spec.shape[-1]
+    if seq_len > spec_n:
+        seq_len, overlap = spec_n, 0
+    ctc_loss_fn = torch.nn.CTCLoss(blank=blank, reduction="sum")
+    model.eval()
+    chunks = _prepare_chunks(spec, seq_len, overlap)
+    keys = sorted(chunks.keys())
+    collections = {
+        k: [p.detach().clone().requires_grad_(True) for p in model.parameters()]
+        for k in keys
+    }
+    optimizers = {k: TorchMadgrad(collections[k], lr=lr) for k in keys}
+
+    model_outputs = {}
+    for _epoch in range(epochs):
+        for i in keys:
+            chunk = chunks[i]
+            with torch.no_grad():
+                for p, q in zip(model.parameters(), collections[i]):
+                    p.copy_(q)
+            audio = chunk.repeat(2, 1, 1)  # [aug(no-op), clean]
+            u_len = audio.shape[-1]
+            out = model(audio_signal=audio)["final_posteriors"]
+            pseudo = _greedy_ids(out[-1].detach(), blank)
+            targets = torch.LongTensor(pseudo).unsqueeze(0)
+            aug_outs = out[:1]
+            N, B = aug_outs.shape[1], aug_outs.shape[0]
+            loss = ctc_loss_fn(
+                aug_outs.transpose(0, 1), targets,
+                torch.LongTensor([N]), torch.LongTensor([targets.shape[1]]),
+            ) / (N * B)
+            model.zero_grad()
+            loss.backward()
+            with torch.no_grad():
+                for p, q in zip(model.parameters(), collections[i]):
+                    q.grad = p.grad.detach().clone() if p.grad is not None else None
+            model.zero_grad()
+            if online:
+                logits = out[-1].detach().exp()
+                ds_len = logits.shape[-2]
+                model_outputs[i] = (
+                    logits, ds_len, int(overlap / (u_len / ds_len))
+                )
+        # sequential in-place mixing, ascending chunk order, fp64 (:817-848)
+        with torch.no_grad():
+            for ii, key_i in enumerate(keys):
+                for z, param in enumerate(collections[key_i]):
+                    if param.grad is None:
+                        continue
+                    cur = param.grad.clone().to(torch.float64)
+                    total = 1.0
+                    for qq, key_q in enumerate(keys):
+                        if key_i == key_q:
+                            continue
+                        d = 0.95 ** abs(ii - qq)
+                        total += d
+                        qg = collections[key_q][z].grad
+                        if qg is not None:
+                            cur += (d * qg.clone()).to(torch.float64)
+                    param.grad.data = (cur / total).to(torch.float32)
+        for k in keys:
+            optimizers[k].step()
+            optimizers[k].zero_grad()
+
+    if not online:
+        for i in keys:
+            chunk = chunks[i]
+            with torch.no_grad():
+                for p, q in zip(model.parameters(), collections[i]):
+                    p.copy_(q)
+                out = model(audio_signal=chunk)["final_posteriors"]
+            logits = out[0].exp()
+            ds_len = logits.shape[-2]
+            model_outputs[i] = (
+                logits, ds_len, int(overlap / (chunk.shape[-1] / ds_len))
+            )
+
+    all_logits = torch.zeros(spec_n // DS + seq_len, V)
+    counts = torch.zeros(spec_n // DS + seq_len)
+    pos = 0
+    for j, i in enumerate(sorted(model_outputs.keys())):
+        logits, ds_len, overlap_ds = model_outputs[i]
+        pos -= overlap_ds if j != 0 else 0
+        all_logits[pos : pos + ds_len] += logits
+        counts[pos : pos + ds_len] += 1
+        pos += ds_len
+    keep = counts > 0
+    stitched = torch.log(all_logits[keep] / counts[keep, None])
+    return stitched.numpy(), collections, keys
+
+
+def _run_jax_consistency(cfg, variables, spec_np, seq_len, overlap, lr,
+                         epochs, online):
+    from dynamic_asr_eval_tpu.optim.madgrad import madgrad
+    from dynamic_asr_eval_tpu.tta.consistency import ConsistencyEngine
+
+    tta = TTAConfig(seq_len=seq_len, overlap=overlap, epochs=epochs,
+                    online=online, shuffle=False, lm_tta_beams=0,
+                    optim_args={"lr": lr})
+    engine = ConsistencyEngine(
+        SCConformer(cfg), cfg.blank_id, cfg.subsampling_factor, tta,
+        optimizer=madgrad(lr),
+    )
+    out = engine(variables, spec_np, seq_len, overlap, return_params=True)
+    return out.numpy_logits(), out.params
+
+
+@pytest.mark.parametrize("online,epochs", [(True, 1), (False, 2)])
+def test_consistency_loop_parity(online, epochs):
+    """5-window recording: per-chunk adapted parameters and the stitched
+    logit matrix must match the torch reference control flow.  epochs=2
+    offline exercises repeated mixing+stepping and the per-chunk final
+    pass."""
+    tm, cfg, variables = _setup(seed=4)
+    lr = 1e-3
+    spec = np.random.default_rng(4).standard_normal((16, 160)).astype(np.float32)
+
+    j_logits, j_stacked = _run_jax_consistency(
+        cfg, variables, spec, 64, 32, lr, epochs, online)
+    t_logits, t_collections, t_keys = torch_consistency(
+        tm, torch.from_numpy(spec)[None], 64, 32, lr, epochs, online)
+
+    assert j_logits.shape == t_logits.shape, (j_logits.shape, t_logits.shape)
+    assert np.abs(j_logits - t_logits).max() < LOGITS_TOL, \
+        np.abs(j_logits - t_logits).max()
+
+    # per-chunk adapted parameters: install each torch collection into the
+    # model, convert, and compare against the stacked pytree's chunk slice
+    names = [n for n, _ in tm.named_parameters()]
+    for ci, k in enumerate(t_keys):
+        sd = {kk: v.detach().numpy() for kk, v in tm.state_dict().items()}
+        for n, q in zip(names, t_collections[k]):
+            sd[n] = q.detach().numpy()
+        chunk_vars, unmatched = convert_lcasr_checkpoint(sd, cfg.default_norm)
+        assert unmatched == []
+        j_chunk = jax.tree.map(lambda s: s[ci], j_stacked)
+        delta = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - jnp.asarray(b)).max()),
+            j_chunk, chunk_vars["params"],
+        )))
+        assert delta < BLANK_OFFSETS_TOL, (ci, delta)
+
+
 @pytest.mark.parametrize("epochs", [1, 2])
 def test_awmc_loop_parity(epochs):
     """5-window recording: the AWMC-adapted parameters and stitched logit

@@ -186,6 +186,37 @@ class TestConsistency:
             lambda a, b: float(jnp.abs(a - b).max()), variables["params"], p0)))
         assert delta > 0
 
+    def test_sequential_mix_matrix_matches_reference_loop(self):
+        """The one-matmul mixing operator must equal the reference's
+        sequential in-place loop (lcasr/lib.py:817-848): walk chunks in
+        ascending order, overwrite each gradient with the decay mix before
+        later chunks read it."""
+        from dynamic_asr_eval_tpu.tta.consistency import sequential_mix_matrix
+
+        rng = np.random.default_rng(0)
+        N, P, decay = 7, 5, 0.95
+        n_real = 5
+        grads = rng.standard_normal((N, P)).astype(np.float32)
+        grads[n_real:] = 0.0
+        mask = (np.arange(N) < n_real).astype(np.float32)
+
+        # brute-force reference loop (fp64 intermediates like the reference)
+        g = grads.astype(np.float64).copy()
+        for i in range(n_real):
+            cur, total = g[i].copy(), 1.0
+            for q in range(n_real):
+                if q == i:
+                    continue
+                d = decay ** abs(i - q)
+                total += d
+                cur += d * g[q]
+            g[i] = cur / total
+
+        L = np.asarray(sequential_mix_matrix(jnp.asarray(mask), decay))
+        mixed = L @ grads
+        np.testing.assert_allclose(mixed[:n_real], g[:n_real], rtol=1e-5)
+        np.testing.assert_allclose(mixed[n_real:], 0.0)
+
     def test_consistency_online(self, model_and_vars):
         from dynamic_asr_eval_tpu.tta import ConsistencyEngine
 

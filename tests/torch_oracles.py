@@ -235,7 +235,9 @@ class TorchSCConformer(nn.Module):
             if self.self_condition_reembed is not None and i < n - 1:
                 lp = self._ctc_logits(h)
                 h = h + self.self_condition_reembed(lp.exp())
-        return {"final_posteriors": self._ctc_logits(h)}
+        # a_hidden: post-block encoder states consumed by attention decoders
+        # (reference 'a_hidden', lcasr/lib.py:1186)
+        return {"final_posteriors": self._ctc_logits(h), "a_hidden": h}
 
 
 # ---------------------------------------------------------------------------
@@ -420,3 +422,112 @@ class TorchNeMoConformer(nn.Module):
     def forward(self, audio_signal):  # [B, F, T]
         h = self.encoder(audio_signal.transpose(1, 2))
         return {"final_posteriors": self.decoder(h)}
+
+
+# ---------------------------------------------------------------------------
+# Encoder-decoder twin (attention decoder with joint CTC branch) — mirrors
+# dynamic_asr_eval_tpu/models/encdec.py, reference surface lcasr/lib.py:
+# 1112-1322 (forward(audio, text_bos) -> final_posteriors_{ctc,lm}).
+# ---------------------------------------------------------------------------
+
+
+class _TorchDecoderBlock(nn.Module):
+    """Pre-norm decoder block: causal self-attn, cross-attn, GELU FF."""
+
+    def __init__(self, d_model, heads, ff_mult):
+        super().__init__()
+        self.heads, self.head_dim = heads, d_model // heads
+        hd = heads * self.head_dim
+        self.ln_self = nn.LayerNorm(d_model)
+        self.self_qkv = nn.Linear(d_model, 3 * hd, bias=False)
+        self.self_out = nn.Linear(hd, d_model, bias=False)
+        self.ln_cross = nn.LayerNorm(d_model)
+        self.cross_q = nn.Linear(d_model, hd, bias=False)
+        self.cross_kv = nn.Linear(d_model, 2 * hd, bias=False)
+        self.cross_out = nn.Linear(hd, d_model, bias=False)
+        self.ln_ff = nn.LayerNorm(d_model)
+        self.ff_in = nn.Linear(d_model, d_model * ff_mult)
+        self.ff_out = nn.Linear(d_model * ff_mult, d_model)
+
+    def forward(self, x, a_hidden, a_mask, self_mask):
+        B, T, _ = x.shape
+        H, D = self.heads, self.head_dim
+        h = self.ln_self(x)
+        qkv = self.self_qkv(h).reshape(B, T, 3, H, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = torch.einsum("bthd,bshd->bhts", q, k) / (D ** 0.5)
+        causal = torch.tril(torch.ones(T, T, dtype=torch.bool, device=x.device))
+        mask = causal[None, None] & self_mask[:, None, None, :]
+        logits = logits.masked_fill(~mask, -1e30)
+        attn = logits.softmax(-1)
+        out = torch.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, H * D)
+        x = x + self.self_out(out)
+
+        h = self.ln_cross(x)
+        qc = self.cross_q(h).reshape(B, T, H, D)
+        Ta = a_hidden.shape[1]
+        kv = self.cross_kv(a_hidden).reshape(B, Ta, 2, H, D)
+        kc, vc = kv[:, :, 0], kv[:, :, 1]
+        logits = torch.einsum("bthd,bshd->bhts", qc, kc) / (D ** 0.5)
+        logits = logits.masked_fill(~a_mask[:, None, None, :], -1e30)
+        attn = logits.softmax(-1)
+        out = torch.einsum("bhts,bshd->bthd", attn, vc).reshape(B, T, H * D)
+        x = x + self.cross_out(out)
+
+        h = self.ln_ff(x)
+        h = self.ff_out(torch.nn.functional.gelu(self.ff_in(h), approximate="tanh"))
+        return x + h
+
+
+class TorchEncDec(nn.Module):
+    """SCConformer encoder + transformer attention decoder twin.
+
+    ``forward(audio_signal, text_bos=None, text_lengths=None)`` returns
+    ``{'a_hidden', 'final_posteriors_ctc'[, 'final_posteriors_lm']}`` like
+    the flax ``EncDecConformer`` (and the reference model surface consumed
+    at ``lcasr/lib.py:1255-1260``)."""
+
+    def __init__(self, encoder_kwargs, decoder_layers=2, decoder_d_model=32,
+                 decoder_heads=2, decoder_ff_mult=4, max_text_len=16):
+        super().__init__()
+        self.encoder = TorchSCConformer(**encoder_kwargs)
+        vocab = encoder_kwargs["vocab_size"]
+        d = decoder_d_model
+        self.embed = nn.Embedding(vocab, d)
+        self.pos_enc = nn.Embedding(max_text_len + 1, d)
+        self.dec_layers = nn.ModuleList(
+            _TorchDecoderBlock(d, decoder_heads, decoder_ff_mult)
+            for _ in range(decoder_layers)
+        )
+        self.ln_f = nn.LayerNorm(d)
+        self.head = nn.Linear(d, vocab)
+        self.max_text_len = max_text_len
+
+    def decode(self, tokens, a_hidden, text_lengths=None):
+        B, T = tokens.shape
+        Ta = a_hidden.shape[1]
+        a_mask = torch.ones(B, Ta, dtype=torch.bool, device=tokens.device)
+        if text_lengths is None:
+            self_mask = torch.ones(B, T, dtype=torch.bool, device=tokens.device)
+        else:
+            self_mask = (
+                torch.arange(T, device=tokens.device)[None, :]
+                < text_lengths[:, None]
+            )
+        pos = torch.arange(T, device=tokens.device).clamp(0, self.max_text_len)
+        x = self.embed(tokens) + self.pos_enc(pos)[None]
+        for blk in self.dec_layers:
+            x = blk(x, a_hidden, a_mask, self_mask)
+        return self.head(self.ln_f(x))
+
+    def forward(self, audio_signal, text_bos=None, text_lengths=None):
+        enc = self.encoder(audio_signal)
+        out = {
+            "a_hidden": enc["a_hidden"],
+            "final_posteriors_ctc": enc["final_posteriors"],
+        }
+        if text_bos is not None:
+            out["final_posteriors_lm"] = self.decode(
+                text_bos, enc["a_hidden"], text_lengths
+            )
+        return out
