@@ -161,10 +161,14 @@ class EncDecDynamicEvalEngine:
         if w > 0:
             ctc_lp = out["final_posteriors_ctc"]
             ds_len = out["length"]
+            # normalize by the chunk's ACTUAL downsampled length (the
+            # reference divides by the ragged output's N, calc_loss_enc_dec
+            # ``lcasr/lib.py:1266-1268``); the padded static shape would
+            # under-weight tail chunks by up to the pad ratio
             ctc = ctc_loss(
                 ctc_lp, ds_len, tokens, t_lens,
                 blank_id=cfg.encoder.blank_id,
-            ) / (ctc_lp.shape[0] * ctc_lp.shape[1]) * 100
+            ) / (ctc_lp.shape[0] * jnp.maximum(ds_len[0], 1)) * 100
             loss = loss + w * ctc
         logits = out["final_posteriors_lm"]
         targets, mask = add_eos_and_targets(tokens_bos, lengths_bos, cfg.eos_id)

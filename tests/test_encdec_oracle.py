@@ -325,3 +325,99 @@ def test_policy_update_parity(mode, rewards):
         (float(j_loss), float(t_loss))
     assert _max_param_delta(new_params, _torch_params_as_jax(tm)) < PARAM_TOL
     assert _max_param_delta(new_params, params) > 1e-7
+
+
+# ---------------------------------------------------------------------------
+# Engine-LOOP oracle (``enc_dec_dynamic_eval``, lcasr/lib.py:1475-1732,
+# teacher_ce mode): chunk → greedy teacher on the clean copy → joint CTC+CE
+# update → next chunk sees the adapted weights; final chunked AR transcript.
+# Augmentation off, filters off, greedy teacher — fully deterministic, so the
+# whole loop can be value-matched like the NSTI/AWMC/consistency loops
+# (tests/test_reference_oracle.py).
+# ---------------------------------------------------------------------------
+
+
+class _IdTokenizer:
+    def decode(self, ids):
+        return " ".join(str(int(i)) for i in ids)
+
+
+def _torch_greedy(tm, chunk, max_generate, bos=0, eos=0):
+    with torch.no_grad():
+        enc = tm.encoder(chunk)
+        prefix, toks = [bos], []
+        for s in range(max_generate):
+            logits = tm.decode(torch.LongTensor([prefix]), enc["a_hidden"])
+            nxt = int(logits[0, -1].argmax())
+            if nxt == eos or s >= max_generate - 1:
+                break
+            toks.append(nxt)
+            prefix.append(nxt)
+    return toks
+
+
+def torch_teacher_ce_loop(tm, spec, seq_len, lr, epochs, w, max_generate):
+    """Reference loop with ragged chunks (the engine pads + length-masks —
+    equality across that difference is part of what this oracle proves)."""
+    from test_reference_oracle import _prepare_chunks
+
+    chunks = _prepare_chunks(spec, seq_len, 0)
+    keys = sorted(chunks)
+    for _ in range(epochs):
+        for i in keys:
+            toks = _torch_greedy(tm, chunks[i], max_generate)
+            if not toks:
+                continue
+            loss = _torch_calc_loss_enc_dec(
+                tm, chunks[i], torch.LongTensor([toks]),
+                torch.LongTensor([len(toks)]), w=w,
+            )
+            tm.zero_grad()
+            loss.backward()
+            with torch.no_grad():
+                for q in tm.parameters():
+                    if q.grad is not None:
+                        q -= lr * q.grad
+    texts = [
+        " ".join(str(t) for t in _torch_greedy(tm, chunks[i], max_generate))
+        for i in keys
+    ]
+    return " ".join(texts).replace("  ", " ").strip(), tm
+
+
+def test_teacher_ce_engine_loop_parity():
+    from dynamic_asr_eval_tpu.config import TTAConfig
+    from dynamic_asr_eval_tpu.tta.encdec_rl import EncDecDynamicEvalEngine
+
+    tm, model, cfg, variables = _setup(seed=5)
+    lr = 1e-4
+    epochs = 2
+    seq_len = 64
+    # max_generate=4 keeps teacher lengths CTC-FEASIBLE for the 8-frame
+    # downsampled chunks (L ≤ 3 ≤ (T_ds−1)/2): an over-long teacher makes the
+    # reference's torch CTC go inf → NaN params (which is why the reference
+    # ships the max_length teacher filter); the oracle needs finite dynamics
+    # on both sides.  The adapted teachers genuinely evolve across epochs
+    # ('10 2 13' → '10 28 11'), so the update→decode feedback IS exercised.
+    spec = np.random.default_rng(5).standard_normal((16, 224)).astype(np.float32)
+
+    engine = EncDecDynamicEvalEngine(
+        model, variables, cfg, TTAConfig(epochs=epochs, optim_args={"lr": lr}),
+        training_mode="teacher_ce", optimizer=optax.sgd(lr), max_generate=4,
+    )
+    with jax.disable_jit():  # see module docstring: XLA:CPU miscompile guard
+        transcript, j_params, _ = engine(
+            variables, spec, seq_len, _IdTokenizer(), return_params=True,
+        )
+
+    t_transcript, tm = torch_teacher_ce_loop(
+        tm, torch.from_numpy(spec)[None], seq_len, lr, epochs,
+        w=cfg.ctc_loss_weight, max_generate=4,
+    )
+
+    assert transcript == t_transcript, (transcript, t_transcript)
+    assert len(t_transcript) > 0, "degenerate fixture: empty final transcript"
+    # adapted parameters after epochs × chunks sequential updates
+    d = _max_param_delta(j_params, _torch_params_as_jax(tm))
+    assert d < 5 * PARAM_TOL, d
+    assert _max_param_delta(j_params, variables["params"]) > 1e-7
