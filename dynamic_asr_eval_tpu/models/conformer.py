@@ -73,6 +73,11 @@ class ConformerConfig:
     # The NSTI adapt step is HBM-bound and these tensors are its largest
     # f32 residents — see PERF.md round-3 trace attribution
     attention_logits_in_compute_dtype: bool = False
+    # run the shared CTC-head matmul ([*, d] x [d, V], applied n_layers times
+    # under self-conditioning) in compute_dtype instead of f32; log_softmax
+    # stays f32.  Opt-in: enable only with a measured on-chip win + drift
+    # check (same policy as attention_logits_in_compute_dtype).
+    head_in_compute_dtype: bool = False
     # "conv": lax.conv_general_dilated (stride-2 convs on the MXU/conv unit)
     # "xla": 9-term broadcast tap sums (VPU work; the round-2 formulation)
     # "pallas": fused VMEM kernel (kernels.subsample; factor-8 stacks with
@@ -80,6 +85,14 @@ class ConformerConfig:
     # all three share identical parameters; "conv" measured ~1.5-2× faster
     # per adapt step in-model on v5e (see PERF.md round-3 A/B)
     subsampling_impl: str = "conv"
+    # rematerialize the subsampling stack in the backward pass: the stage
+    # tensors ([B, T/2^k, F/2^k, C] activations of the three stride-2 convs)
+    # are the adapt step's top HBM byte mover (~12 GB/window fwd+bwd on the
+    # flagship, PERF.md round-3 trace) while the stack carries <3% of the
+    # FLOPs — recompute-from-input trades that traffic for one extra
+    # subsample forward.  Only the bandwidth-bound train step benefits;
+    # pure inference is unaffected (no backward).
+    remat_subsampling: bool = False
     # sequence parallelism: (batch_axis, seq_axis) mesh-axis names.  When
     # set, block activations and the attention score matrix carry sharding
     # constraints over the time axis, so the dominant [B, H, T, T] scores
@@ -641,7 +654,12 @@ class SCConformer(nn.Module):
         x = jnp.where(lengths_to_mask(length, T)[..., None], x, 0)
         x = x.astype(cfg.compute_dtype)
 
-        h = DWStridingSubsampling(cfg, name="subsampling")(x)
+        sub_cls = (
+            nn.remat(DWStridingSubsampling)
+            if cfg.remat_subsampling
+            else DWStridingSubsampling
+        )
+        h = sub_cls(cfg, name="subsampling")(x)
         if cfg.input_xscale:  # NeMo scales the embedding by √d_model
             h = h * jnp.asarray(jnp.sqrt(cfg.d_model), h.dtype)
         T_ds = h.shape[1]
@@ -655,9 +673,16 @@ class SCConformer(nn.Module):
         )
 
         # shared CTC head (the "decoder" in reference terms) + shared
-        # re-embedding for self-conditioning
+        # re-embedding for self-conditioning.  head_in_compute_dtype runs the
+        # [*, d_model] x [d_model, V] head matmul on the MXU in compute_dtype
+        # (f32 accumulation via preferred_element_type is XLA's default on
+        # TPU); the logits are upcast before log_softmax so normalization
+        # stays f32.  With self-conditioning the head is applied n_layers
+        # times per forward — in f32 it is ~20% of the step's matmul FLOPs
+        # at the MXU's reduced f32 rate.
+        head_dtype = cfg.compute_dtype if cfg.head_in_compute_dtype else jnp.float32
         head_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, param_dtype=jnp.float32, name="decoder_norm")
-        head = nn.Dense(cfg.n_classes, dtype=jnp.float32, param_dtype=jnp.float32, name="decoder")
+        head = nn.Dense(cfg.n_classes, dtype=head_dtype, param_dtype=jnp.float32, name="decoder")
         reembed = nn.Dense(
             cfg.d_model, use_bias=False, dtype=cfg.compute_dtype,
             param_dtype=jnp.float32, name="self_condition_reembed",
@@ -667,7 +692,7 @@ class SCConformer(nn.Module):
             z = hid.astype(jnp.float32)
             if cfg.decoder_norm:
                 z = head_norm(z)
-            return jax.nn.log_softmax(head(z), axis=-1)
+            return jax.nn.log_softmax(head(z).astype(jnp.float32), axis=-1)
 
         interim = []
         blocks = []

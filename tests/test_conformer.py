@@ -103,6 +103,33 @@ class TestConformerForward:
         assert all(np.isfinite(np.asarray(t)).all() for t in flat)
         assert any(float(jnp.abs(t).max()) > 0 for t in flat)
 
+    def test_remat_subsampling_is_exact(self, tiny_model):
+        """remat_subsampling changes only the backward-pass schedule
+        (recompute instead of store); forward values and gradients must be
+        bit-identical to the non-remat path with the same params."""
+        import dataclasses
+
+        model, variables = tiny_model
+        cfg_r = dataclasses.replace(TINY, remat_subsampling=True)
+        model_r = SCConformer(cfg_r)
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((2, 16, 64)), jnp.float32
+        )
+
+        lp = model.apply(variables, x)["final_posteriors"]
+        lp_r = model_r.apply(variables, x)["final_posteriors"]
+        np.testing.assert_array_equal(np.asarray(lp), np.asarray(lp_r))
+
+        def loss(m):
+            def f(params):
+                out = m.apply({"params": params}, x)
+                return jnp.sum(out["final_posteriors"] ** 2)
+            return jax.jit(jax.grad(f))(variables["params"])
+
+        g, g_r = loss(model), loss(model_r)
+        for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
     def test_bf16_attention_logits_close_to_f32(self):
         """attention_logits_in_compute_dtype narrows only the materialized
         [B,H,T,S] score tensor; outputs must stay within bf16 noise of the
@@ -120,6 +147,23 @@ class TestConformerForward:
         lp_bf = np.asarray(model_bf.apply(variables, x)["final_posteriors"])
         assert np.max(np.abs(lp - lp_bf)) < 0.15
         np.testing.assert_allclose(np.exp(lp_bf).sum(-1), 1.0, rtol=1e-2)
+
+    def test_bf16_head_close_to_f32(self):
+        """head_in_compute_dtype narrows only the head matmul; log_softmax
+        stays f32, so outputs must be valid log-probs within bf16 noise of
+        the f32-head path (same params)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, compute_dtype=jnp.bfloat16)
+        model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=64)
+        model_h = SCConformer(dataclasses.replace(cfg, head_in_compute_dtype=True))
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((2, 16, 64)), jnp.float32
+        )
+        lp = np.asarray(model.apply(variables, x)["final_posteriors"])
+        lp_h = np.asarray(model_h.apply(variables, x)["final_posteriors"])
+        assert np.max(np.abs(lp - lp_h)) < 0.15, np.max(np.abs(lp - lp_h))
+        np.testing.assert_allclose(np.exp(lp_h).sum(-1), 1.0, rtol=1e-2)
 
     def test_rotary_changes_output(self):
         cfg_no = ConformerConfig(
