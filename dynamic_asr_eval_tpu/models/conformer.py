@@ -360,11 +360,30 @@ class DWStridingSubsampling(nn.Module):
     config: ConformerConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, length: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """``length`` ([B] valid input frames) enables EXACT ragged-length
+        parity with the reference's unpadded forward: each stride-2 stage
+        zeroes its frames beyond ``ceil(length/2^(k+1))``.  Without it, a
+        boundary output frame of stage k+1 can read stage-k frames that an
+        unpadded run would have as conv zero-padding — real values leak into
+        VALID downstream frames whenever ``length`` is not a multiple of the
+        subsampling factor (windows that ARE multiples are unaffected).
+        The fused pallas lowering cannot mask between stages; it keeps the
+        unmasked semantics (exact only for factor-multiple lengths)."""
         cfg = self.config
         act = _act(cfg.subsampling_act)
         n_stages = {2: 1, 4: 2, 8: 3}[cfg.subsampling_factor]
         C = cfg.subsampling_conv_channels
+
+        def stage_mask(h, k):
+            # h: [B, T_k, F_k, C]; valid frames after k+1 stride-2 stages
+            if length is None:
+                return h
+            valid = jnp.ceil(length / (2 ** (k + 1))).astype(jnp.int32)
+            keep = jnp.arange(h.shape[1])[None, :] < valid[:, None]
+            return jnp.where(keep[:, :, None, None], h, 0)
 
         # stage 0: full 3×3 stride-2 conv with 1 input channel — 9 shifted
         # phase tensors, each broadcast-multiplied by its tap weights
@@ -412,7 +431,7 @@ class DWStridingSubsampling(nn.Module):
             return h
         if cfg.subsampling_impl == "conv":
             h = x[..., None].astype(cfg.compute_dtype)  # [B, T, F, 1]
-            h = act(_conv2d_s2(h, k_in, b_in))
+            h = stage_mask(act(_conv2d_s2(h, k_in, b_in)), 0)
             for i in range(n_stages - 1):
                 k_dw = self.param(f"dw_conv_{i}_kernel",
                                   nn.initializers.lecun_normal(), (3, 3, 1, C))
@@ -421,7 +440,7 @@ class DWStridingSubsampling(nn.Module):
                 h = _conv2d_s2(h, k_dw, b_dw, groups=C)
                 h = nn.Conv(C, (1, 1), dtype=cfg.compute_dtype,
                             param_dtype=jnp.float32, name=f"pw_conv_{i}")(h)
-                h = act(h)
+                h = stage_mask(act(h), i + 1)
             B, T_ds, F_ds, _ = h.shape
             h = h.reshape(B, T_ds, F_ds * C)
             h = nn.Dense(cfg.d_model, dtype=cfg.compute_dtype,
@@ -437,7 +456,7 @@ class DWStridingSubsampling(nn.Module):
         h = b_in.astype(cfg.compute_dtype) + sum(
             taps[j] * w_in[j] for j in range(9)
         )
-        h = act(h)
+        h = stage_mask(act(h), 0)
 
         for i in range(n_stages - 1):
             k_dw = self.param(f"dw_conv_{i}_kernel", nn.initializers.lecun_normal(),
@@ -452,7 +471,7 @@ class DWStridingSubsampling(nn.Module):
                 C, (1, 1), dtype=cfg.compute_dtype, param_dtype=jnp.float32,
                 name=f"pw_conv_{i}",
             )(h)
-            h = act(h)
+            h = stage_mask(act(h), i + 1)
 
         B, T_ds, F_ds, _ = h.shape
         h = h.reshape(B, T_ds, F_ds * C)
@@ -659,7 +678,7 @@ class SCConformer(nn.Module):
             if cfg.remat_subsampling
             else DWStridingSubsampling
         )
-        h = sub_cls(cfg, name="subsampling")(x)
+        h = sub_cls(cfg, name="subsampling")(x, length)
         if cfg.input_xscale:  # NeMo scales the embedding by √d_model
             h = h * jnp.asarray(jnp.sqrt(cfg.d_model), h.dtype)
         T_ds = h.shape[1]

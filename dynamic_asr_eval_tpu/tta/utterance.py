@@ -57,7 +57,18 @@ class UtteranceTTAEngine:
         soft_dtw_gamma: float = 1.0,
         pseudo_label_fn: Optional[Callable] = None,
         clip_norm: Optional[float] = None,  # reference _su clips at 10.0
+        prob_collection: str = "online",  # "online" | "final"
     ):
+        # "online" stores each utterance's clean-stream log-probs from the
+        # forward that produced its loss — i.e. under the weights current at
+        # visit time, overwritten every epoch.  This is the reference
+        # behavior in BOTH backends (``utterances[idx]['probs'] = ...`` mid-
+        # loop, wav2vec2/lib.py:455-456, lcasr_nemo/lib.py:166-167) and it
+        # makes the separate final inference pass unnecessary.  "final"
+        # re-infers every utterance with the fully adapted weights instead
+        # (uniform weights across utterances; not what the reference does).
+        if prob_collection not in ("online", "final"):
+            raise ValueError(f"prob_collection: {prob_collection!r}")
         self.model = model
         self.blank_id = blank_id
         self.ds = subsampling_factor
@@ -70,6 +81,7 @@ class UtteranceTTAEngine:
         self.soft_dtw_gamma = soft_dtw_gamma
         self.pseudo_label_fn = pseudo_label_fn
         self.clip_norm = clip_norm
+        self.prob_collection = prob_collection
         if optimizer is None:
             opt_args = dict(config.optim_args)
             lr = opt_args.pop("lr", 9e-5)
@@ -160,6 +172,7 @@ class UtteranceTTAEngine:
         apply_acc = self._build_apply()
 
         t0 = time.time()
+        online_probs: Dict[int, np.ndarray] = {}
         for epoch in range(max(cfg.epochs, 0)):
             acc_grads = None
             n_acc = 0
@@ -201,6 +214,10 @@ class UtteranceTTAEngine:
                     params, extra_vars, jnp.asarray(padded),
                     jnp.asarray(T, jnp.int32), k, ext_labels, ext_len, use_ext,
                 )
+                if self.prob_collection == "online":
+                    # reference semantics: probs from this visit's forward
+                    # (pre-step weights), overwritten every epoch
+                    online_probs[int(idx)] = np.asarray(clean_lp)[: int(ds_len)]
                 acc_grads = grads if acc_grads is None else jax.tree.map(
                     jnp.add, acc_grads, grads
                 )
@@ -214,6 +231,16 @@ class UtteranceTTAEngine:
                 params, opt_state = apply_acc(
                     params, opt_state, acc_grads, jnp.asarray(float(n_acc))
                 )
+
+        if self.prob_collection == "online" and len(online_probs) == len(utterances):
+            # all collected mid-loop (reference behavior); no final pass.
+            # epochs=0 (or an empty loop) falls through to inference below.
+            elapsed = time.time() - t0
+            return (
+                [online_probs[i] for i in range(len(utterances))],
+                (params if return_params else None),
+                elapsed,
+            )
 
         # final pass: per-utterance probabilities with adapted weights
         outputs: List[np.ndarray] = []

@@ -225,6 +225,25 @@ def test_nsti_loop_parity_two_epochs_offline():
     assert _param_delta(tm, j_params) < BLANK_OFFSETS_TOL
 
 
+def test_nsti_ragged_tail_window():
+    """Tail window whose length is NOT a multiple of the subsampling factor
+    (150 frames, 64/32 windows → 22-frame tail): regression for the
+    inter-stage subsampling leak — without per-stage length masking the
+    padded tail's boundary frames read values an unpadded run would have as
+    conv zero-padding, so the stitched tail diverged from the reference."""
+    tm, cfg, variables = _setup(seed=6)
+    lr = 1e-3
+    spec = np.random.default_rng(6).standard_normal((16, 150)).astype(np.float32)
+
+    j_logits, _ = _run_jax(cfg, variables, spec, 64, 32, lr, 1, True)
+    t_logits, _ = torch_dynamic_eval(
+        tm, torch.from_numpy(spec)[None], 64, 32, lr, 1, True)
+
+    assert j_logits.shape == t_logits.shape, (j_logits.shape, t_logits.shape)
+    assert np.abs(j_logits - t_logits).max() < LOGITS_TOL, \
+        np.abs(j_logits - t_logits).max()
+
+
 def test_nsti_single_window_recording():
     """spec shorter than seq_len: one full-length window, overlap forced 0
     (lcasr/lib.py:501-503)."""
