@@ -54,7 +54,38 @@ def _make_ctc_like_logits(total_ds: int, vocab_plus_blank: int, seed: int = 0):
     return lp
 
 
+def _backend_watchdog(deadline_s: float):
+    """Fail fast (diagnostic JSON + exit 1) if JAX backend init hangs.
+
+    The axon TPU plugin retries a wedged tunnel forever inside
+    ``jax.devices()``; a hung bench run gives the driver nothing to record.
+    The probe runs in a daemon thread; if it doesn't come back within the
+    deadline the process exits with an explicit error line instead."""
+    import threading
+
+    ready = threading.Event()
+
+    def _probe():
+        import jax
+
+        jax.devices()
+        ready.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not ready.wait(deadline_s):
+        print(json.dumps({
+            "metric": "earnings22_nsti_online_rtfx",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": f"jax backend init exceeded {deadline_s:.0f}s "
+                     "(TPU tunnel unreachable) — infrastructure, not repo",
+        }))
+        os._exit(1)
+
+
 def main():
+    _backend_watchdog(float(os.environ.get("DAE_BACKEND_DEADLINE_S", "900")))
     import jax
     import jax.numpy as jnp
 
