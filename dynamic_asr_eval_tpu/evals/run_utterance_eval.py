@@ -44,6 +44,7 @@ def main(args) -> float:
     engine = UtteranceTTAEngine(
         model, cfg.blank_id, cfg.subsampling_factor, tta,
         accumulate_gradients=int(vars(args).get("accumulate_gradients", 1)),
+        prob_collection=str(vars(args).get("prob_collection", "online")),
     )
     records = get_dataset(args.dataset, args.split)
     seg_frames = int(vars(args).get("segment_frames", 512))
@@ -78,6 +79,11 @@ def cli(argv=None):
     parser.add_argument("-d", "--dataset", type=str, default="synthetic")
     parser.add_argument("--segment_frames", type=int, default=512)
     parser.add_argument("--accumulate_gradients", type=int, default=1)
+    parser.add_argument("--prob_collection", choices=["online", "final"],
+                        default="online",
+                        help="'online' = reference semantics (per-utterance "
+                             "probs from the visit-time weights, mid-loop); "
+                             "'final' = re-infer with fully adapted weights")
     parser.add_argument("-s", "--save_path", type=str, default="")
     parser.add_argument("--tokenizer", type=str, default="")
     parser.add_argument("--quiet", action="store_true")

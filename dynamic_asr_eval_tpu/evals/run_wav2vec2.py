@@ -93,6 +93,7 @@ def main(args) -> float:
         engine = UtteranceTTAEngine(
             model, blank, cfg.downsampling_factor, tta, augment_fn=aug,
             accumulate_gradients=int(vars(args).get("accumulate_gradients", 1)),
+            prob_collection=str(vars(args).get("prob_collection", "online")),
         )
 
         def run_one(rec):
@@ -142,6 +143,8 @@ def cli(argv=None):
     parser.add_argument("--full_size", action="store_true",
                         help="wav2vec2-base dimensions (default: tiny)")
     parser.add_argument("-s", "--save_path", type=str, default="")
+    parser.add_argument("--prob_collection", choices=["online", "final"],
+                        default="online")
     parser.add_argument("--quiet", action="store_true")
     args = apply_args(parser, argv)
     return main(args)
