@@ -530,6 +530,40 @@ def test_consistency_loop_parity(online, epochs):
         assert delta < BLANK_OFFSETS_TOL, (ci, delta)
 
 
+def test_consistency_ragged_tail_window():
+    """Consistency engine with a non-factor-multiple tail window (150 frames
+    → 54-frame tail): regression for the inter-stage subsampling leak in the
+    per-chunk-params + mixing setting."""
+    tm, cfg, variables = _setup(seed=7)
+    lr = 1e-3
+    spec = np.random.default_rng(7).standard_normal((16, 150)).astype(np.float32)
+
+    j_logits, _ = _run_jax_consistency(cfg, variables, spec, 64, 32, lr, 1, True)
+    t_logits, _, _ = torch_consistency(
+        tm, torch.from_numpy(spec)[None], 64, 32, lr, 1, True)
+
+    assert j_logits.shape == t_logits.shape, (j_logits.shape, t_logits.shape)
+    assert np.abs(j_logits - t_logits).max() < LOGITS_TOL, \
+        np.abs(j_logits - t_logits).max()
+
+
+def test_awmc_ragged_tail_window():
+    """AWMC with a non-factor-multiple tail window (150 frames → 54-frame
+    tail): regression for the inter-stage subsampling leak in the dual-bank
+    EMA setting."""
+    tm, cfg, variables = _setup(seed=8)
+    lr, ema_decay = 1e-3, 0.9
+    spec = np.random.default_rng(8).standard_normal((16, 150)).astype(np.float32)
+
+    j_logits, _ = _run_jax_awmc(cfg, variables, spec, 64, 32, lr, 1, ema_decay)
+    t_logits, _ = torch_awmc(
+        tm, torch.from_numpy(spec)[None], 64, 32, lr, 1, ema_decay)
+
+    assert j_logits.shape == t_logits.shape, (j_logits.shape, t_logits.shape)
+    assert np.abs(j_logits - t_logits).max() < LOGITS_TOL, \
+        np.abs(j_logits - t_logits).max()
+
+
 @pytest.mark.parametrize("epochs", [1, 2])
 def test_awmc_loop_parity(epochs):
     """5-window recording: the AWMC-adapted parameters and stitched logit
