@@ -161,6 +161,31 @@ class TestUtteranceTTA:
             lambda a, b: float(jnp.abs(a - b).max()), variables["params"], params)))
         assert delta > 0
 
+    def test_epochs_zero_falls_back_to_final_pass(self):
+        """prob_collection='online' collects nothing when epochs=0; the
+        engine must fall back to the inference pass and return the
+        unadapted per-utterance log-probs (identical to 'final')."""
+        from dynamic_asr_eval_tpu.models import ConformerConfig, init_conformer
+
+        cfg = ConformerConfig(
+            feat_in=16, n_layers=1, d_model=32, n_heads=2, head_dim=16,
+            vocab_size=28, subsampling_factor=4, subsampling_conv_channels=8,
+            conv_kernel_size=5, compute_dtype=jnp.float32,
+        )
+        model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=256)
+        utts = [
+            {"spectrogram": np.random.default_rng(9).standard_normal((16, 90)).astype(np.float32)}
+        ]
+        tta = TTAConfig(epochs=0, shuffle=False, optim_args={"lr": 1e-4})
+        on = UtteranceTTAEngine(model, cfg.blank_id, cfg.subsampling_factor, tta,
+                                prob_collection="online")
+        fin = UtteranceTTAEngine(model, cfg.blank_id, cfg.subsampling_factor, tta,
+                                 prob_collection="final")
+        o_on, _, _ = on(variables, utts)
+        o_fin, _, _ = fin(variables, utts)
+        assert len(o_on) == 1 and o_on[0].shape == o_fin[0].shape
+        np.testing.assert_array_equal(o_on[0], o_fin[0])
+
     def test_utterance_engine_waveform_domain(self, w2v):
         from dynamic_asr_eval_tpu.augment.waveform import wav_augment_pipeline
 
