@@ -36,9 +36,12 @@ def load_model_and_tokenizer(args) -> Tuple[Any, Dict, Any, ConformerConfig]:
     vocab = tokenizer.vocab_size()
 
     if getattr(args, "checkpoint", ""):
-        from dynamic_asr_eval_tpu.models.checkpoint import load_checkpoint
+        from dynamic_asr_eval_tpu.models.checkpoint import load_any_checkpoint
 
-        model, variables, cfg = load_checkpoint(args.checkpoint)
+        # format-sniffing: native DAE msgpack OR a reference torch pickle
+        # (lcasr/run.py:37-47 semantics — config from the checkpoint,
+        # oracle-proven weight conversion, strict=False overlay)
+        model, variables, cfg = load_any_checkpoint(args.checkpoint)
         return model, variables, tokenizer, cfg
 
     if getattr(args, "config", ""):

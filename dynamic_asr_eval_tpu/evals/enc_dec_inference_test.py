@@ -36,7 +36,11 @@ def load_encdec_from_args(args, tokenizer):
     cfg = EncDecConfig(encoder=enc, decoder_layers=2, decoder_d_model=64,
                        decoder_heads=2)
     if getattr(args, "checkpoint", ""):
-        raise NotImplementedError("enc-dec checkpoints: use models.checkpoint")
+        from dynamic_asr_eval_tpu.models.checkpoint import load_encdec_torch_checkpoint
+
+        # reference enc-dec torch pickle → oracle-proven conversion
+        # (convert_encdec_checkpoint, tests/test_encdec_oracle.py)
+        return load_encdec_torch_checkpoint(args.checkpoint)
     model, variables = init_encdec(cfg, jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0)))
     return model, variables, cfg
 

@@ -65,6 +65,116 @@ def load_lm_checkpoint(path: str):
     return model, jax.tree.map(jnp.asarray, variables), config
 
 
+# torch LM naming (lming-style transformer_lm checkpoints are torch pickles
+# with DDP prefixes, lcasr/lib.py:44-49) → flax TransformerLM params.  Rule-
+# driven like models/convert.py; value fidelity proven by the torch twin in
+# tests/test_lm_oracle.py.
+_LM_TORCH_RULES = [
+    (r"embed\.weight", "embed/embedding", "identity"),
+    (r"layers\.(\d+)\.(ln1|ln2)\.weight", r"layer_\1/\2/scale", "identity"),
+    (r"layers\.(\d+)\.(ln1|ln2)\.bias", r"layer_\1/\2/bias", "identity"),
+    (r"layers\.(\d+)\.(qkv|out|ff_in|ff_out)\.weight", r"layer_\1/\2/kernel", "t_dense"),
+    (r"layers\.(\d+)\.(ff_in|ff_out)\.bias", r"layer_\1/\2/bias", "identity"),
+    (r"ln_f\.weight", "ln_f/scale", "identity"),
+    (r"ln_f\.bias", "ln_f/bias", "identity"),
+    (r"head\.weight", "head/kernel", "t_dense"),
+    (r"head\.bias", "head/bias", "identity"),
+]
+
+
+def convert_lm_torch_state(state):
+    """torch LM state dict → (flax params tree, unmatched keys)."""
+    from dynamic_asr_eval_tpu.models.convert import (
+        convert_state_dict,
+        identity,
+        t_dense,
+    )
+
+    adapters = {"identity": identity, "t_dense": t_dense}
+    rules = [(p, t, adapters[a]) for p, t, a in _LM_TORCH_RULES]
+    return convert_state_dict(state, rules)
+
+
+def load_lm_torch_checkpoint(
+    path: str,
+    max_cache_length: int = 128,
+    compute_dtype=None,
+    n_heads: Optional[int] = None,
+    verbose: bool = True,
+):
+    """A reference torch LM checkpoint → ``(model, variables, config)``.
+
+    Config comes from the pickled config dict where present; structural dims
+    (vocab, d_model, n_layers, expansion) come from the weight shapes.  The
+    head count cannot be recovered from weights (head_dim = d_model/n_heads
+    here) — pass ``n_heads`` or carry it in the checkpoint config; the
+    fallback assumes 64-dim heads (the 512d/8h published LM shape)."""
+    import re
+    import sys
+
+    from dynamic_asr_eval_tpu.models.checkpoint import (
+        _plain_config,
+        load_torch_checkpoint,
+    )
+
+    state_np, raw_cfg = load_torch_checkpoint(path)
+    cfg_plain = _plain_config(raw_cfg)
+    cfg_d = dict(cfg_plain.get("model", cfg_plain) or {}) if isinstance(cfg_plain, dict) else {}
+
+    emb = state_np.get("embed.weight")
+    if emb is None:
+        raise ValueError(f"{path}: no embed.weight — not a transformer LM "
+                         "checkpoint this converter understands")
+    vocab, d_model = int(emb.shape[0]), int(emb.shape[1])
+    layer_ids = {int(m.group(1)) for k in state_np
+                 for m in [re.match(r"layers\.(\d+)\.", k)] if m}
+    n_layers = (max(layer_ids) + 1) if layer_ids else int(cfg_d.get("n_layers", 6))
+    ff = state_np.get("layers.0.ff_in.weight")
+    expansion = int(ff.shape[0]) // d_model if ff is not None else int(
+        cfg_d.get("expansion_factor", 4))
+    heads = n_heads or int(cfg_d.get("n_heads", 0)) or (
+        d_model // 64 if d_model % 64 == 0 else 8)
+    config = TransformerLMConfig(
+        vocab_size=vocab, n_layers=n_layers, d_model=d_model, n_heads=heads,
+        max_cache_length=max_cache_length,
+        rotary_base=float(cfg_d.get("rotary_base", 10_000.0)),
+        expansion_factor=expansion,
+        compute_dtype=compute_dtype if compute_dtype is not None else jnp.float32,
+    )
+    converted, unmatched = convert_lm_torch_state(state_np)
+    model, template = init_lm(config, jax.random.PRNGKey(0))
+
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat_t = flatten_dict(jax.tree.map(np.asarray, template))
+    flat_c = flatten_dict({"params": converted})
+    bad = [
+        f"{'/'.join(k)}: checkpoint {np.shape(flat_c[k])} vs model {np.shape(flat_t[k])}"
+        for k in flat_t.keys() & flat_c.keys()
+        if np.shape(flat_c[k]) != np.shape(flat_t[k])
+    ]
+    if bad:
+        raise ValueError("LM checkpoint/model shape mismatches:\n  " + "\n  ".join(bad))
+    merged = dict(flat_t)
+    for k in flat_t.keys() & flat_c.keys():
+        merged[k] = flat_c[k]
+    variables = jax.tree.map(jnp.asarray, unflatten_dict(merged))
+    if verbose:
+        missing = sorted("/".join(k) for k in flat_t.keys() - flat_c.keys())
+        if unmatched:
+            print(f"load_lm_torch_checkpoint: {len(unmatched)} torch keys "
+                  f"unconverted (first: {unmatched[:4]})", file=sys.stderr)
+        if missing:
+            print(f"load_lm_torch_checkpoint: {len(missing)} params kept fresh "
+                  f"init (first: {missing[:4]})", file=sys.stderr)
+    if compute_dtype is not None:
+        variables = jax.tree.map(
+            lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a,
+            variables,
+        )
+    return model, variables, config
+
+
 def load_lm_adapter(
     path: str,
     tokenizer,
@@ -92,6 +202,14 @@ def load_lm_adapter(
                        for i in range(tokenizer.vocab_size())}
         lm = load_arpa(path, token_to_id, tokenizer.vocab_size())
         return NGramAdapter(lm, bos_id=bos_id)
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic != _MAGIC:
+        # reference torch pickle (lming transformer, DDP prefixes) — the
+        # converter is oracle-proven in tests/test_lm_oracle.py
+        model, variables, config = load_lm_torch_checkpoint(
+            path, max_cache_length=max_cache_length, compute_dtype=compute_dtype)
+        return TransformerLMAdapter(model, variables, config, bos_id=bos_id)
     model, variables, config = load_lm_checkpoint(path)
     # cache trimming (reference max_cache_length, lcasr/lib.py:69-71):
     # rebuild the module with the requested ring size — parameters are

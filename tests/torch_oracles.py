@@ -531,3 +531,74 @@ class TorchEncDec(nn.Module):
                 text_bos, enc["a_hidden"], text_lengths
             )
         return out
+
+
+class TorchTransformerLM(nn.Module):
+    """Full-sequence causal twin of ``lm.transformer_lm.TransformerLM``
+    (lming-style decoder-only LM, the reference's fusion LM — consumed via
+    ``lcasr/ctc_beam_search.py:45-87``).  Same naming the converter rules in
+    ``lm/loader.py`` expect; rotary uses the same half-split convention and
+    base; LayerNorm eps matches flax's 1e-6 default; gelu is tanh-approx.
+    ``forward(tokens [B, T]) -> log_probs [B, T, V]`` — position t must match
+    the flax model's step-t output when the ring cache never evicts."""
+
+    def __init__(self, vocab_size=32, n_layers=2, d_model=32, n_heads=2,
+                 rotary_base=10_000.0, expansion_factor=4):
+        super().__init__()
+        self.n_heads, self.head_dim = n_heads, d_model // n_heads
+        self.rotary_base = rotary_base
+        self.embed = nn.Embedding(vocab_size, d_model)
+        self.layers = nn.ModuleList(
+            _TorchLMBlock(d_model, n_heads, expansion_factor)
+            for _ in range(n_layers)
+        )
+        self.ln_f = nn.LayerNorm(d_model, eps=1e-6)
+        self.head = nn.Linear(d_model, vocab_size)
+
+    def forward(self, tokens):
+        x = self.embed(tokens)
+        for blk in self.layers:
+            x = blk(x, self.rotary_base)
+        return torch.log_softmax(self.head(self.ln_f(x)), dim=-1)
+
+
+class _TorchLMBlock(nn.Module):
+    def __init__(self, d_model, heads, expansion):
+        super().__init__()
+        self.heads, self.head_dim = heads, d_model // heads
+        hd = heads * self.head_dim
+        self.ln1 = nn.LayerNorm(d_model, eps=1e-6)
+        self.qkv = nn.Linear(d_model, 3 * hd, bias=False)
+        self.out = nn.Linear(hd, d_model, bias=False)
+        self.ln2 = nn.LayerNorm(d_model, eps=1e-6)
+        self.ff_in = nn.Linear(d_model, d_model * expansion)
+        self.ff_out = nn.Linear(d_model * expansion, d_model)
+
+    @staticmethod
+    def _rope(x, base):
+        # x [B, H, T, D]; half-split rotary at absolute positions
+        B, H, T, D = x.shape
+        inv = 1.0 / (base ** (torch.arange(0, D, 2, dtype=torch.float32) / D))
+        ang = torch.arange(T, dtype=torch.float32)[:, None] * inv[None, :]
+        cos, sin = torch.cos(ang), torch.sin(ang)  # [T, D/2]
+        x1, x2 = x[..., : D // 2], x[..., D // 2:]
+        return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin], dim=-1)
+
+    def forward(self, x, rotary_base):
+        B, T, _ = x.shape
+        H, D = self.heads, self.head_dim
+        h = self.ln1(x)
+        qkv = self.qkv(h).view(B, T, 3, H, D).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [B, H, T, D]
+        q, k = self._rope(q, rotary_base), self._rope(k, rotary_base)
+        logits = torch.einsum("bhtd,bhsd->bhts", q, k) / (D ** 0.5)
+        causal = torch.tril(torch.ones(T, T, dtype=torch.bool))
+        logits = logits.masked_fill(~causal, -1e30)
+        attn = torch.softmax(logits, dim=-1)
+        o = torch.einsum("bhts,bhsd->bhtd", attn, v)
+        o = o.permute(0, 2, 1, 3).reshape(B, T, H * D)
+        x = x + self.out(o)
+        h2 = self.ln2(x)
+        h2 = self.ff_out(torch.nn.functional.gelu(self.ff_in(h2),
+                                                  approximate="tanh"))
+        return x + h2
