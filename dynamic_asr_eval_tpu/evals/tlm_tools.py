@@ -91,6 +91,53 @@ def _rescore_one(args):
     return data["id"], ids, data["gold"]
 
 
+def _rescore_streams(
+    logit_paths, lm_adapter_factory, beam_kwargs, stream_batch,
+    blank_collapse_threshold, segment_frames,
+):
+    """Device-batched rescoring: S recordings per dispatch through
+    :func:`ops.beam_search.beam_search_streams` (one batched LM forward
+    serves every stream — the TPU replacement for the reference's ray
+    CPU-worker fan-out, ``tlm_beam.py:54-68``).  Short final groups are
+    padded with zero-length streams (decoded as empty, dropped)."""
+    import jax.numpy as jnp
+
+    from dynamic_asr_eval_tpu.ops.beam_search import (
+        beam_search_streams,
+        collapse_blank_frames,
+    )
+
+    lm = lm_adapter_factory()
+    results = []
+    for i in range(0, len(logit_paths), stream_batch):
+        datas = []
+        for p in logit_paths[i : i + stream_batch]:
+            with open(p, "rb") as f:
+                datas.append(pickle.load(f))
+        lps = [np.asarray(d["logits"]) for d in datas]
+        if blank_collapse_threshold is not None:
+            lps = [collapse_blank_frames(lp, threshold=blank_collapse_threshold)
+                   for lp in lps]
+        lens = [lp.shape[0] for lp in lps]
+        T = max(lens)
+        if T > segment_frames:  # stabilize compile shapes across groups
+            T = -(-T // segment_frames) * segment_frames
+        batch = np.stack(
+            [np.pad(lp, ((0, T - lp.shape[0]), (0, 0))) for lp in lps]
+            + [np.zeros((T, lps[0].shape[1]), np.float32)]
+            * (stream_batch - len(lps))
+        )
+        toks, lns, _ = beam_search_streams(
+            jnp.asarray(batch), lm,
+            valid_frames=jnp.asarray(lens + [0] * (stream_batch - len(lens))),
+            segment_frames=segment_frames, **beam_kwargs,
+        )
+        for s, d in enumerate(datas):
+            ids = [int(x) for x in np.asarray(toks[s, 0])[: int(lns[s, 0])]]
+            results.append((d["id"], ids, d["gold"]))
+    return results
+
+
 def tlm_beam_rescore(
     logit_paths: Sequence[str],
     lm_adapter_factory,
@@ -101,16 +148,30 @@ def tlm_beam_rescore(
     prune_less_than_val: Optional[float] = 3.17,
     num_workers: int = 4,
     use_device: bool = False,
+    stream_batch: int = 1,
+    blank_collapse_threshold: Optional[float] = None,
+    segment_frames: int = 4096,
 ) -> Tuple[float, List[Dict]]:
-    """Parallel LM-beam rescoring of dumped logits → corpus WER."""
+    """Parallel LM-beam rescoring of dumped logits → corpus WER.
+
+    ``stream_batch > 1`` (with ``use_device``) decodes that many recordings
+    per device dispatch via :func:`beam_search_streams` — aggregate
+    throughput scales with the batch (PERF.md round 3) at per-stream parity
+    with the single-recording path."""
     beam_kwargs = dict(beam_width=beam_width, alpha=alpha, beta=beta,
                        prune_less_than_val=prune_less_than_val)
-    jobs = [(p, lm_adapter_factory, beam_kwargs, use_device) for p in logit_paths]
-    if use_device or num_workers <= 1:
-        results = [_rescore_one(j) for j in jobs]
+    if use_device and stream_batch > 1:
+        results = _rescore_streams(
+            logit_paths, lm_adapter_factory, beam_kwargs, stream_batch,
+            blank_collapse_threshold, segment_frames,
+        )
     else:
-        with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            results = list(pool.map(_rescore_one, jobs))
+        jobs = [(p, lm_adapter_factory, beam_kwargs, use_device) for p in logit_paths]
+        if use_device or num_workers <= 1:
+            results = [_rescore_one(j) for j in jobs]
+        else:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                results = list(pool.map(_rescore_one, jobs))
     hyps, refs, detail = [], [], []
     for rid, ids, gold in results:
         text = normalize(tokenizer.decode(ids))
@@ -142,3 +203,88 @@ def tlm_beam_grid(
         results.append({"alpha": a, "beta": b, "prune": p, "WER": wer})
         print(f"alpha={a} beta={b} prune={p} -> WER {wer:.5f}")
     return sorted(results, key=lambda r: r["WER"])
+
+
+def _cli():
+    """CLI parity with the reference's ``bin/create_logits.py`` (subcommand
+    ``dump``) and ``bin/tlm_beam.py`` / ``tlm_beam_search.py`` (``rescore`` /
+    ``grid``), with the same flag names where they exist."""
+    import argparse
+    import glob
+
+    import jax
+
+    from dynamic_asr_eval_tpu.config import TTAConfig
+    from dynamic_asr_eval_tpu.data import get_dataset
+    from dynamic_asr_eval_tpu.lm.loader import load_lm_adapter
+    from dynamic_asr_eval_tpu.text import load_tokenizer
+    from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dump", help="windowed inference → per-recording logit pickles")
+    d.add_argument("-c", "--checkpoint", default="")
+    d.add_argument("-d", "--dataset", default="synthetic")
+    d.add_argument("-split", "--split", default="test")
+    d.add_argument("-seq", "--seq_len", type=int, default=16384)
+    d.add_argument("-overlap", "--overlap", type=int, default=0)
+    d.add_argument("-s", "--save_path", default="./logits")
+    d.add_argument("--tokenizer", default="")
+
+    for name in ("rescore", "grid"):
+        r = sub.add_parser(name)
+        r.add_argument("-logits", "--logits_path", required=True,
+                       help="logit-pickle directory or glob")
+        r.add_argument("-lm", "--lm_checkpoint", required=True)
+        r.add_argument("-beams", "--beam_width", type=int, default=25)
+        r.add_argument("-alpha", "--alpha", type=float, default=0.45)
+        r.add_argument("-beta", "--beta", type=float, default=1.53)
+        r.add_argument("-p", "--p", type=float, default=3.17)
+        r.add_argument("--stream_batch", type=int, default=1,
+                       help=">1 decodes that many recordings per device dispatch")
+        r.add_argument("--blank_collapse", type=float, default=0.99)
+        r.add_argument("--tokenizer", default="")
+    args = parser.parse_args()
+
+    tokenizer = load_tokenizer(getattr(args, "tokenizer", "") or None)
+    if args.cmd == "dump":
+        from dynamic_asr_eval_tpu.evals.common import load_model_and_tokenizer
+
+        model, variables, tokenizer, cfg = load_model_and_tokenizer(args)
+        engine = DynamicEvalEngine(
+            model, cfg.blank_id, cfg.subsampling_factor,
+            TTAConfig(seq_len=args.seq_len,
+                      overlap=args.overlap, epochs=0, shuffle=False),
+        )
+        records = get_dataset(args.dataset, args.split)
+
+        def run(v, spec, seq, ov):
+            return engine(v, spec)
+
+        paths = create_logits(run, variables, records, args.save_path,
+                              args.seq_len, args.overlap)
+        print(f"dumped {len(paths)} logit pickles to {args.save_path}")
+        return
+
+    paths = sorted(glob.glob(os.path.join(args.logits_path, "*.pkl"))
+                   if os.path.isdir(args.logits_path)
+                   else glob.glob(args.logits_path))
+    if not paths:
+        raise SystemExit(f"no logit pickles at {args.logits_path}")
+    factory = lambda: load_lm_adapter(args.lm_checkpoint, tokenizer)  # noqa: E731
+    if args.cmd == "rescore":
+        wer, _ = tlm_beam_rescore(
+            paths, factory, tokenizer, beam_width=args.beam_width,
+            alpha=args.alpha, beta=args.beta, prune_less_than_val=args.p,
+            use_device=True, stream_batch=args.stream_batch,
+            blank_collapse_threshold=args.blank_collapse,
+        )
+        print(f"WER: {wer:.5f}")
+    else:
+        tlm_beam_grid(paths, factory, tokenizer, beam_width=args.beam_width,
+                      num_workers=1)
+
+
+if __name__ == "__main__":
+    _cli()

@@ -755,3 +755,67 @@ def beam_search_segmented(
     state = _finalize_state(state, lm_adapter, kwargs.get("alpha", 0.45))
     order = jnp.argsort(-state.score)
     return state.tokens[order], state.length[order], state.score[order]
+
+
+def beam_search_streams(
+    log_probs: jnp.ndarray,  # [S, T, V+1] (zero-pad ragged streams)
+    lm_adapter,
+    valid_frames: Optional[jnp.ndarray] = None,  # [S] true lengths
+    segment_frames: int = 4096,
+    max_tokens: Optional[int] = None,
+    **kwargs,
+):
+    """Decode S independent streams in ONE device program per segment —
+    ``jax.vmap`` of :func:`beam_search_device` over a leading streams axis,
+    with the segment carry of :func:`beam_search_segmented`.
+
+    Why: one recording's LM-fused decode runs a beam_width-sized LM forward
+    per emitting frame — tiny matmuls that leave the MXU idle.  Batching S
+    streams widens every op (LM batch S·B, S-lane merge/top-k) at the price
+    of losing the per-frame branch skipping (under vmap, ``lax.switch``
+    executes all branches and selects, so the blank fast path and the lazy
+    LM carry no longer skip work).  Per-stream wall-clock therefore rises
+    while AGGREGATE throughput grows with S — this is the right call for
+    multi-recording workloads (TLM rescoring over logit dumps, dataset-level
+    evals); single recordings should keep :func:`beam_search_segmented`.
+    Measured on chip: see PERF.md (round 3, batched decode).
+
+    Per-stream results are EXACT w.r.t. :func:`beam_search_segmented` on the
+    same stream (``tests/test_beam_search.py::TestStreams``).  Returns
+    (tokens [S, B, Lmax], lengths [S, B], scores [S, B]), each stream's beams
+    sorted by score descending.
+    """
+    S, T, _ = log_probs.shape
+    vf = (jnp.full((S,), T, jnp.int32) if valid_frames is None
+          else jnp.asarray(valid_frames, jnp.int32))
+    Lmax = max_tokens or T
+    seg_len = min(segment_frames, T)
+
+    def first(lp, n):
+        return beam_search_device(
+            lp, lm_adapter, valid_frames=n, max_tokens=Lmax,
+            init_state=None, return_state=True, **kwargs)
+
+    def rest(lp, n, st):
+        return beam_search_device(
+            lp, lm_adapter, valid_frames=n, max_tokens=Lmax,
+            init_state=st, return_state=True, **kwargs)
+
+    state = None
+    for s0 in range(0, T, seg_len):
+        seg = log_probs[:, s0 : s0 + seg_len]
+        n = seg.shape[1]
+        if n < seg_len:
+            seg = jnp.pad(seg, ((0, 0), (0, seg_len - n), (0, 0)))
+        seg_vf = jnp.clip(vf - s0, 0, n)
+        if state is None:
+            state = jax.vmap(first)(seg, seg_vf)
+        else:
+            state = jax.vmap(rest)(seg, seg_vf, state)
+
+    def fin(st):
+        st = _finalize_state(st, lm_adapter, kwargs.get("alpha", 0.45))
+        order = jnp.argsort(-st.score)
+        return st.tokens[order], st.length[order], st.score[order]
+
+    return jax.vmap(fin)(state)

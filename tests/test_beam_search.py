@@ -443,3 +443,77 @@ class TestSegmentedDecode:
             jnp.asarray(lp), UniformLMAdapter(V), segment_frames=4096, **kw
         )
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+class TestStreams:
+    """beam_search_streams: vmapped multi-stream decode must agree EXACTLY
+    per stream with beam_search_segmented on the same stream — including
+    ragged stream lengths, segment-boundary state carry, and the transformer
+    LM's permutation-carried KV cache under vmapped lax.switch."""
+
+    def _blanky_stream(self, seed, T, V, blank):
+        rng = np.random.default_rng(seed)
+        lp = np.full((T, V + 1), np.log(0.002 / V), np.float32)
+        lp[:, blank] = np.log(0.998)
+        for t in range(1, T, 4):
+            tok = int(rng.integers(1, V))
+            lp[t, tok], lp[t, blank] = np.log(0.9), np.log(0.05)
+        lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
+        return lp
+
+    def test_streams_match_segmented_transformer_lm(self):
+        from dynamic_asr_eval_tpu.lm.transformer_lm import (
+            TransformerLMConfig, init_lm,
+        )
+        from dynamic_asr_eval_tpu.ops.beam_search import (
+            beam_search_segmented, beam_search_streams,
+        )
+
+        V, blank, T = 12, 12, 40
+        lens = [40, 33, 21]  # ragged: stream 2 ends mid-segment
+        streams = np.stack([
+            np.concatenate([
+                self._blanky_stream(s, n, V, blank),
+                np.zeros((T - n, V + 1), np.float32),
+            ]) for s, n in enumerate(lens)
+        ])
+        cfg = TransformerLMConfig(vocab_size=V, n_layers=2, d_model=32,
+                                  n_heads=2, max_cache_length=8)
+        model, variables = init_lm(cfg, jax.random.PRNGKey(3))
+        adapter = TransformerLMAdapter(model, variables, cfg, bos_id=1)
+        kw = dict(beam_width=5, alpha=0.4, beta=1.0, top_am_threshold=-6.0,
+                  prune_less_than_val=3.0)
+
+        toks, lns, scores = beam_search_streams(
+            jnp.asarray(streams), adapter,
+            valid_frames=jnp.asarray(lens), segment_frames=16, **kw)
+        assert toks.shape[0] == 3
+
+        for s, n in enumerate(lens):
+            want_t, want_l, want_s = beam_search_segmented(
+                jnp.asarray(streams[s, :n]), adapter, segment_frames=16,
+                max_tokens=T, **kw)
+            got = np.asarray(toks[s, 0])[: int(lns[s, 0])]
+            want = np.asarray(want_t[0])[: int(want_l[0])]
+            np.testing.assert_array_equal(got, want)
+            assert float(scores[s, 0]) == pytest.approx(float(want_s[0]), abs=2e-3)
+
+    def test_streams_single_segment_ngram(self):
+        from dynamic_asr_eval_tpu.ops.beam_search import beam_search_streams
+
+        V, blank = 8, 8
+        tokens = [[1, 2, 3], [4, 5, 6, 7]]
+        lps = [clean_emissions(t, V, blank) for t in tokens]
+        T = max(lp.shape[0] for lp in lps)
+        streams = np.stack([
+            np.concatenate([lp, np.zeros((T - lp.shape[0], V + 1), np.float32)])
+            for lp in lps
+        ])
+        lens = [lp.shape[0] for lp in lps]
+        kw = dict(beam_width=4, alpha=0.0, beta=0.0, prune_less_than_val=None)
+        toks, lns, _ = beam_search_streams(
+            jnp.asarray(streams), UniformLMAdapter(V),
+            valid_frames=jnp.asarray(lens), **kw)
+        for s, t in enumerate(tokens):
+            got = np.asarray(toks[s, 0])[: int(lns[s, 0])].tolist()
+            assert got == t

@@ -102,6 +102,21 @@ class TestTLMTools:
         assert np.isfinite(wer)
         assert len(detail) == 2
 
+        # device-batched streams path (stream_batch > available recordings
+        # exercises the zero-length pad lane) must match the per-recording
+        # device path id-for-id
+        wer_s, detail_s = tlm_beam_rescore(
+            paths, lambda: UniformLMAdapter(28), tok,
+            beam_width=4, alpha=0.0, beta=0.0, use_device=True,
+            stream_batch=3, segment_frames=8,
+        )
+        wer_d, detail_d = tlm_beam_rescore(
+            paths, lambda: UniformLMAdapter(28), tok,
+            beam_width=4, alpha=0.0, beta=0.0, use_device=True,
+        )
+        assert [d["hyp"] for d in detail_s] == [d["hyp"] for d in detail_d]
+        assert wer_s == pytest.approx(wer_d)
+
     def test_lm_prefill_ring_buffer(self):
         from dynamic_asr_eval_tpu.evals.tlm_tools import lm_init_state_from_text
         from dynamic_asr_eval_tpu.lm.transformer_lm import TransformerLMConfig, init_lm
