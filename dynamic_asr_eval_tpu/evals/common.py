@@ -138,6 +138,42 @@ def evaluate_records(
         )
         all_texts.append(hyp)
         all_golds.append(gold)
+    return _wer_detail(all_texts, all_golds, elapsed_times, log_path)
+
+
+def evaluate_records_grouped(
+    records: List[Dict],
+    run_group: Callable[[List[Dict]], List[Tuple[str, str]]],
+    group_size: int,
+    log_path: str = "",
+    verbose: bool = True,
+) -> Tuple[float, Dict]:
+    """Grouped variant of :func:`evaluate_records` for batched final decodes
+    (``--decode_batch``): ``run_group(records[i:i+group_size]) -> [(hyp,
+    gold), ...]``.  Per-record elapsed time is the group wall-clock divided
+    by the group size (adapt+decode cost is shared across the group)."""
+    all_texts, all_golds, elapsed_times = [], [], []
+    for g0 in range(0, len(records), group_size):
+        group = records[g0 : g0 + group_size]
+        t0 = time.time()
+        pairs = run_group(group)
+        per_rec = (time.time() - t0) / len(group)
+        for i, (rec, (hyp, gold)) in enumerate(zip(group, pairs)):
+            elapsed_times.append(per_rec)
+            if verbose:
+                print(gold, "\n", hyp, "\n\n")
+            append_log(
+                log_path,
+                f"record {g0 + i + 1}/{len(records)} "
+                f"({rec.get('id', rec.get('audio', '?'))}): "
+                f"elapsed {per_rec:.2f}s (group of {len(group)})",
+            )
+            all_texts.append(hyp)
+            all_golds.append(gold)
+    return _wer_detail(all_texts, all_golds, elapsed_times, log_path)
+
+
+def _wer_detail(all_texts, all_golds, elapsed_times, log_path):
     wer, words, ins_rate, del_rate, sub_rate = word_error_rate_detail(
         hypotheses=all_texts, references=all_golds
     )

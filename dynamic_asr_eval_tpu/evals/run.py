@@ -22,6 +22,7 @@ from dynamic_asr_eval_tpu.evals.common import (
     build_engine,
     decode_output,
     evaluate_records,
+    evaluate_records_grouped,
     load_model_and_tokenizer,
     maybe_shard_variables,
     save_result_pickle,
@@ -34,21 +35,33 @@ def main(args) -> float:
     engine_kind = "awmc" if getattr(args, "awmc", False) else "dynamic_eval"
     records = get_dataset(args.dataset, args.split)
 
-    beam_search_fn, lm_adapter = None, None
+    beam_search_fn, lm_adapter, batched_decode_fn = None, None, None
+    decode_batch = int(getattr(args, "decode_batch", 1) or 1)
     if getattr(args, "language_model", ""):
-        from dynamic_asr_eval_tpu.lm.loader import load_beamsearch, load_lm_adapter
+        from dynamic_asr_eval_tpu.lm.loader import (
+            load_beamsearch,
+            load_beamsearch_batched,
+            load_lm_adapter,
+        )
 
         # one adapter serves both the final stitched decode and (when
         # lm_tta_beams > 0) the in-TTA pseudo-label beam (lcasr/lib.py:515)
         lm_adapter = load_lm_adapter(args.language_model, tokenizer)
-        beam_search_fn = load_beamsearch(
-            args.language_model, tokenizer,
+        lm_kwargs = dict(
             alpha=vars(args).get("lm_alpha", 0.45),
             beta=vars(args).get("lm_beta", 1.53),
             prune_less_than_val=vars(args).get("lm_prune_less_than_val", 3.17),
             top_am_threshold=vars(args).get("lm_top_am_threshold", -6.0),
-            adapter=lm_adapter,
         )
+        beam_search_fn = load_beamsearch(
+            args.language_model, tokenizer, adapter=lm_adapter, **lm_kwargs)
+        if decode_batch > 1:
+            # batch final LM decodes across recordings: one device program
+            # decodes `decode_batch` stitched posterior streams (exact per
+            # stream; aggregate-throughput win, PERF.md round 3)
+            batched_decode_fn = load_beamsearch_batched(
+                args.language_model, tokenizer, adapter=lm_adapter,
+                pad_streams=decode_batch, **lm_kwargs)
 
     engine = build_engine(args, model, cfg, engine_kind, lm_adapter=lm_adapter)
     variables = maybe_shard_variables(engine, variables)
@@ -67,7 +80,7 @@ def main(args) -> float:
         repeat_shuffle = np.random.default_rng(base_seed * 1000 + repeat)
         rec_counter = iter(range(len(records)))
 
-        def run_one(rec):
+        def adapt_one(rec):
             spec, gold = rec["process_fn"](rec)
             # fold the record index into the key: the reference's global RNG
             # advances across recordings (lcasr/run.py:76) — a shared per-
@@ -78,11 +91,25 @@ def main(args) -> float:
                 variables, spec, args.seq_len, args.overlap,
                 rng=rec_rng, shuffle_rng=repeat_shuffle,
             )
+            return out, gold
+
+        def run_one(rec):
+            out, gold = adapt_one(rec)
             hyp = normalize(decode_output(
                 out, tokenizer, beam_search_fn=beam_search_fn,
                 beams=getattr(args, "beams", 1),
             ))
             return hyp, gold
+
+        def run_group(group):
+            # adapt serially (the engine is per-recording online SGD), then
+            # decode the group's stitched posteriors in one device program
+            outs = [adapt_one(rec) for rec in group]
+            hyps = batched_decode_fn(
+                [o.numpy_logits() for o, _ in outs],
+                beam_width=getattr(args, "beams", 1),
+            )
+            return [(normalize(h), gold) for h, (_, gold) in zip(hyps, outs)]
 
         import contextlib
 
@@ -96,7 +123,12 @@ def main(args) -> float:
             if profile_dir and repeat == 0 else contextlib.nullcontext()
         )
         with trace_ctx:
-            wer, detail = evaluate_records(records, run_one, verbose=not getattr(args, "quiet", False))
+            verbose = not getattr(args, "quiet", False)
+            if batched_decode_fn is not None and getattr(args, "beams", 1) > 1:
+                wer, detail = evaluate_records_grouped(
+                    records, run_group, decode_batch, verbose=verbose)
+            else:
+                wer, detail = evaluate_records(records, run_one, verbose=verbose)
         print(f"WER: {wer}")
         append_log(
             getattr(args, "log", ""),
@@ -122,6 +154,10 @@ def cli(argv=None):
                         help="data-parallel windowed inference over all devices")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree of the device mesh (with --dp)")
+    parser.add_argument("--decode_batch", type=int, default=1,
+                        help="batch final LM beam decodes across this many "
+                             "recordings per device program (exact per "
+                             "recording; aggregate-throughput win)")
     parser.add_argument("--tokenizer", type=str, default="")
     parser.add_argument("--profile", type=str, default="",
                         help="write a jax.profiler trace of repeat 0 to this dir")

@@ -41,6 +41,36 @@ class TestPerRecordingDrivers:
                    "-s", str(tmp_path / "r.pkl")] + KW)
         assert 0.0 <= wer < 10.0
 
+    def test_decode_batch_matches_serial(self, tmp_path):
+        """--decode_batch N (stream-batched final LM decode) must produce
+        hypothesis-identical output to the serial per-recording decode —
+        including a trailing partial group (3 records, batch 2)."""
+        import jax
+        from dynamic_asr_eval_tpu.evals.run import cli
+        from dynamic_asr_eval_tpu.lm.loader import save_lm_checkpoint
+        from dynamic_asr_eval_tpu.lm.transformer_lm import (
+            TransformerLMConfig, init_lm,
+        )
+        from dynamic_asr_eval_tpu.text import CharTokenizer
+
+        tok = CharTokenizer()
+        lm_cfg = TransformerLMConfig(vocab_size=tok.vocab_size(), n_layers=1,
+                                     d_model=32, n_heads=2, max_cache_length=8)
+        _, lm_vars = init_lm(lm_cfg, jax.random.PRNGKey(7))
+        lm_path = str(tmp_path / "lm.ckpt")
+        save_lm_checkpoint(lm_path, lm_vars, lm_cfg)
+
+        base = ["-d", "synthetic", "--quiet", "-lm", lm_path, "-beams", "3",
+                "-kwargs", "epochs=1", "online=true", "seq_len=256",
+                "overlap=128", "lm_tta_beams=0"]
+        cli(base + ["-s", str(tmp_path / "serial" / "r.pkl")])
+        cli(base + ["--decode_batch", "2",
+                    "-s", str(tmp_path / "batched" / "r.pkl")])
+        (serial,) = _load_pickles(tmp_path / "serial")
+        (batched,) = _load_pickles(tmp_path / "batched")
+        assert batched["model_output"] == serial["model_output"]
+        assert batched["wer"] == serial["wer"]
+
 
 class TestProtocolDrivers:
     def test_in_dataset(self, tmp_path):
