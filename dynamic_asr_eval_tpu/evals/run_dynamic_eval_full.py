@@ -3,7 +3,10 @@
 Capability parity with ``lcasr/run_dynamic_eval_full.py:31-149``: same shape
 as the base driver plus ``--consistency`` dispatch to the per-chunk
 parameter-collection engine (``:67-72``) and ``--awmc`` for the anchor/leader
-engine.
+engine.  Like the reference (``:56-65,94-104``), ``-lm`` enables the LM
+shallow-fusion final beam decode (and, for the NSTI engine, LM-fused TTA
+pseudo-labels via ``lm_tta_beams``); ``--decode_batch`` batches final decodes
+across recordings like the base driver.
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ from dynamic_asr_eval_tpu.evals.common import (
     append_log,
     decode_output,
     evaluate_records,
+    evaluate_records_grouped,
     load_model_and_tokenizer,
     save_result_pickle,
 )
@@ -32,7 +36,38 @@ def main(args) -> float:
         engine_cls = AWMCEngine
     else:
         engine_cls = DynamicEvalEngine
-    engine = engine_cls(model, cfg.blank_id, cfg.subsampling_factor, tta)
+
+    beam_search_fn, lm_adapter, batched_decode_fn = None, None, None
+    decode_batch = int(getattr(args, "decode_batch", 1) or 1)
+    engine_kwargs = {}
+    if getattr(args, "language_model", ""):
+        from dynamic_asr_eval_tpu.lm.loader import (
+            load_beamsearch,
+            load_beamsearch_batched,
+            load_lm_adapter,
+        )
+
+        lm_adapter = load_lm_adapter(args.language_model, tokenizer)
+        lm_kwargs = dict(
+            alpha=vars(args).get("lm_alpha", 0.45),
+            beta=vars(args).get("lm_beta", 1.53),
+            prune_less_than_val=vars(args).get("lm_prune_less_than_val", 3.17),
+            top_am_threshold=vars(args).get("lm_top_am_threshold", -6.0),
+        )
+        beam_search_fn = load_beamsearch(
+            args.language_model, tokenizer, adapter=lm_adapter, **lm_kwargs)
+        if decode_batch > 1:
+            batched_decode_fn = load_beamsearch_batched(
+                args.language_model, tokenizer, adapter=lm_adapter,
+                pad_streams=decode_batch, **lm_kwargs)
+        if engine_cls is DynamicEvalEngine and tta.lm_tta_beams > 0:
+            # LM-fused pseudo-labels are NSTI-only, matching the reference
+            # (AWMC/consistency always decode teachers greedily)
+            engine_kwargs = {"lm_adapter": lm_adapter,
+                             "lm_beam_kwargs": lm_kwargs}
+
+    engine = engine_cls(model, cfg.blank_id, cfg.subsampling_factor, tta,
+                        **engine_kwargs)
     records = get_dataset(args.dataset, args.split)
 
     wers = []
@@ -49,16 +84,35 @@ def main(args) -> float:
         repeat_shuffle = np.random.default_rng(base_seed * 1000 + repeat)
         rec_counter = iter(range(len(records)))
 
-        def run_one(rec):
+        def adapt_one(rec):
             spec, gold = rec["process_fn"](rec)
             # per-record key split, like evals/run.py — the reference's
             # global RNG advances across recordings (lcasr/run.py:76)
             rec_rng = jax.random.fold_in(repeat_rng, next(rec_counter))
             out = engine(variables, spec, args.seq_len, args.overlap,
                          rng=rec_rng, shuffle_rng=repeat_shuffle)
-            return normalize(decode_output(out, tokenizer, beams=getattr(args, "beams", 1))), gold
+            return out, gold
 
-        wer, detail = evaluate_records(records, run_one, verbose=not getattr(args, "quiet", False))
+        def run_one(rec):
+            out, gold = adapt_one(rec)
+            hyp = normalize(decode_output(
+                out, tokenizer, beam_search_fn=beam_search_fn,
+                beams=getattr(args, "beams", 1)))
+            return hyp, gold
+
+        def run_group(group):
+            outs = [adapt_one(rec) for rec in group]
+            hyps = batched_decode_fn(
+                [o.numpy_logits() for o, _ in outs],
+                beam_width=getattr(args, "beams", 1))
+            return [(normalize(h), gold) for h, (_, gold) in zip(hyps, outs)]
+
+        verbose = not getattr(args, "quiet", False)
+        if batched_decode_fn is not None and getattr(args, "beams", 1) > 1:
+            wer, detail = evaluate_records_grouped(
+                records, run_group, decode_batch, verbose=verbose)
+        else:
+            wer, detail = evaluate_records(records, run_one, verbose=verbose)
         print(f"WER: {wer}")
         append_log(getattr(args, "log", ""),
                    f"{engine_cls.__name__}\t{args.dataset}\tWER: {wer}")
@@ -77,6 +131,9 @@ def cli(argv=None):
     parser.add_argument("-s", "--save_path", type=str, default="")
     parser.add_argument("--awmc", action="store_true")
     parser.add_argument("--consistency", action="store_true")
+    parser.add_argument("--decode_batch", type=int, default=1,
+                        help="batch final LM beam decodes across this many "
+                             "recordings per device program")
     parser.add_argument("--tokenizer", type=str, default="")
     parser.add_argument("--quiet", action="store_true")
     args = apply_args(parser, argv)

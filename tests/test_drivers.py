@@ -41,12 +41,9 @@ class TestPerRecordingDrivers:
                    "-s", str(tmp_path / "r.pkl")] + KW)
         assert 0.0 <= wer < 10.0
 
-    def test_decode_batch_matches_serial(self, tmp_path):
-        """--decode_batch N (stream-batched final LM decode) must produce
-        hypothesis-identical output to the serial per-recording decode —
-        including a trailing partial group (3 records, batch 2)."""
+    @staticmethod
+    def _save_tiny_lm(tmp_path):
         import jax
-        from dynamic_asr_eval_tpu.evals.run import cli
         from dynamic_asr_eval_tpu.lm.loader import save_lm_checkpoint
         from dynamic_asr_eval_tpu.lm.transformer_lm import (
             TransformerLMConfig, init_lm,
@@ -59,12 +56,39 @@ class TestPerRecordingDrivers:
         _, lm_vars = init_lm(lm_cfg, jax.random.PRNGKey(7))
         lm_path = str(tmp_path / "lm.ckpt")
         save_lm_checkpoint(lm_path, lm_vars, lm_cfg)
+        return lm_path
 
+    def test_decode_batch_matches_serial(self, tmp_path):
+        """--decode_batch N (stream-batched final LM decode) must produce
+        hypothesis-identical output to the serial per-recording decode —
+        including a trailing partial group (3 records, batch 2)."""
+        from dynamic_asr_eval_tpu.evals.run import cli
+
+        lm_path = self._save_tiny_lm(tmp_path)
         base = ["-d", "synthetic", "--quiet", "-lm", lm_path, "-beams", "3",
                 "-kwargs", "epochs=1", "online=true", "seq_len=256",
                 "overlap=128", "lm_tta_beams=0"]
         cli(base + ["-s", str(tmp_path / "serial" / "r.pkl")])
         cli(base + ["--decode_batch", "2",
+                    "-s", str(tmp_path / "batched" / "r.pkl")])
+        (serial,) = _load_pickles(tmp_path / "serial")
+        (batched,) = _load_pickles(tmp_path / "batched")
+        assert batched["model_output"] == serial["model_output"]
+        assert batched["wer"] == serial["wer"]
+
+    def test_full_driver_lm_decode(self, tmp_path):
+        """run_dynamic_eval_full honors -lm like the reference
+        (lcasr/run_dynamic_eval_full.py:56-65,94-104): the LM beam decode
+        must actually run (beams>1 changes the decode path), and
+        --decode_batch must match the serial decode exactly."""
+        from dynamic_asr_eval_tpu.evals.run_dynamic_eval_full import cli
+
+        lm_path = self._save_tiny_lm(tmp_path)
+        base = ["-d", "synthetic", "--quiet", "-lm", lm_path, "-beams", "3",
+                "-kwargs", "epochs=1", "online=true", "seq_len=256",
+                "overlap=128", "lm_tta_beams=0"]
+        cli(base + ["-s", str(tmp_path / "serial" / "r.pkl")])
+        cli(base + ["--decode_batch", "3",
                     "-s", str(tmp_path / "batched" / "r.pkl")])
         (serial,) = _load_pickles(tmp_path / "serial")
         (batched,) = _load_pickles(tmp_path / "batched")
