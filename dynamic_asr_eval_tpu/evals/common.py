@@ -21,6 +21,31 @@ from dynamic_asr_eval_tpu.models import ConformerConfig, SCConformer, init_confo
 from dynamic_asr_eval_tpu.text import load_tokenizer, normalize, word_error_rate_detail
 from dynamic_asr_eval_tpu.tta import AWMCEngine, DynamicEvalEngine
 
+_COMPILE_CACHE_DONE = False
+
+
+def setup_compile_cache():
+    """Point JAX at a persistent compilation cache so a second driver
+    invocation on the same shapes skips the 50-240 s warmup compiles
+    (BENCH_r03 measured them at up to 16× the actual adaptation time).
+
+    TPU only: XLA:CPU in this image has been observed to serve persistent-
+    cache hits with silently wrong numerics (see tests/conftest.py), so the
+    cache stays off there.  Opt out with ``DAE_NO_COMPILE_CACHE=1``; override
+    the location with ``JAX_COMPILE_CACHE=/path``."""
+    global _COMPILE_CACHE_DONE
+    if _COMPILE_CACHE_DONE or os.environ.get("DAE_NO_COMPILE_CACHE"):
+        return
+    _COMPILE_CACHE_DONE = True
+    if jax.default_backend() == "cpu":
+        return
+    cache_dir = os.environ.get("JAX_COMPILE_CACHE", "/tmp/dae_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
 def load_model_and_tokenizer(args) -> Tuple[Any, Dict, Any, ConformerConfig]:
     """Build (model, variables, tokenizer, config) from args.
@@ -32,6 +57,7 @@ def load_model_and_tokenizer(args) -> Tuple[Any, Dict, Any, ConformerConfig]:
        ``earnings_finetune/lcasr160rb1.yaml``), randomly initialized;
     3. neither — a small default model (tests / smoke runs).
     """
+    setup_compile_cache()
     tokenizer = load_tokenizer(getattr(args, "tokenizer", None) or None)
     vocab = tokenizer.vocab_size()
 

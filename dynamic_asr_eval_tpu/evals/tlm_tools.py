@@ -71,23 +71,15 @@ def lm_init_state_from_text(model, variables, config, tokenizer, text: str,
 
 
 def _rescore_one(args):
-    path, lm_adapter_factory, beam_kwargs, use_device = args
+    path, lm_adapter_factory, beam_kwargs = args
     with open(path, "rb") as f:
         data = pickle.load(f)
     logits = data["logits"]
     lm = lm_adapter_factory()
-    if use_device:
-        import jax.numpy as jnp
+    from dynamic_asr_eval_tpu.ops.beam_search import BeamSearchHost
 
-        from dynamic_asr_eval_tpu.ops.beam_search import beam_search_device
-
-        toks, lens, scores = beam_search_device(jnp.asarray(logits), lm, **beam_kwargs)
-        ids = [int(x) for x in np.asarray(toks[0])[: int(lens[0])]]
-    else:
-        from dynamic_asr_eval_tpu.ops.beam_search import BeamSearchHost
-
-        bs = BeamSearchHost(logits, lm, **beam_kwargs)
-        ids = list(bs.run_search()[0][0])
+    bs = BeamSearchHost(logits, lm, **beam_kwargs)
+    ids = list(bs.run_search()[0][0])
     return data["id"], ids, data["gold"]
 
 
@@ -154,20 +146,22 @@ def tlm_beam_rescore(
 ) -> Tuple[float, List[Dict]]:
     """Parallel LM-beam rescoring of dumped logits → corpus WER.
 
-    ``stream_batch > 1`` (with ``use_device``) decodes that many recordings
-    per device dispatch via :func:`beam_search_streams` — aggregate
-    throughput scales with the batch (PERF.md round 3) at per-stream parity
-    with the single-recording path."""
+    ``use_device`` decodes on device via :func:`beam_search_streams` —
+    ``stream_batch`` recordings per dispatch, every stream getting the same
+    blank collapse + frame segmentation regardless of the batch setting, so
+    ``stream_batch`` changes throughput but never results.  Host path
+    (``use_device=False``) fans out over a thread pool, the stand-in for the
+    reference's ray CPU workers."""
     beam_kwargs = dict(beam_width=beam_width, alpha=alpha, beta=beta,
                        prune_less_than_val=prune_less_than_val)
-    if use_device and stream_batch > 1:
+    if use_device:
         results = _rescore_streams(
-            logit_paths, lm_adapter_factory, beam_kwargs, stream_batch,
+            logit_paths, lm_adapter_factory, beam_kwargs, max(1, stream_batch),
             blank_collapse_threshold, segment_frames,
         )
     else:
-        jobs = [(p, lm_adapter_factory, beam_kwargs, use_device) for p in logit_paths]
-        if use_device or num_workers <= 1:
+        jobs = [(p, lm_adapter_factory, beam_kwargs) for p in logit_paths]
+        if num_workers <= 1:
             results = [_rescore_one(j) for j in jobs]
         else:
             with ThreadPoolExecutor(max_workers=num_workers) as pool:
@@ -191,14 +185,23 @@ def tlm_beam_grid(
     prunes: Sequence[float] = (1.5, 3.17),
     beam_width: int = 25,
     num_workers: int = 4,
+    use_device: bool = False,
+    stream_batch: int = 1,
+    blank_collapse_threshold: Optional[float] = None,
+    segment_frames: int = 4096,
 ) -> List[Dict]:
-    """Grid sweep over fusion hyperparameters (``tlm_beam_search.py``)."""
+    """Grid sweep over fusion hyperparameters (``tlm_beam_search.py``).
+    Each grid point runs through :func:`tlm_beam_rescore` with the same
+    decode-path knobs, so grid and rescore numbers are directly comparable."""
     results = []
     for a, b, p in itertools.product(alphas, betas, prunes):
         wer, _ = tlm_beam_rescore(
             logit_paths, lm_adapter_factory, tokenizer,
             beam_width=beam_width, alpha=a, beta=b, prune_less_than_val=p,
-            num_workers=num_workers,
+            num_workers=num_workers, use_device=use_device,
+            stream_batch=stream_batch,
+            blank_collapse_threshold=blank_collapse_threshold,
+            segment_frames=segment_frames,
         )
         results.append({"alpha": a, "beta": b, "prune": p, "WER": wer})
         print(f"alpha={a} beta={b} prune={p} -> WER {wer:.5f}")
@@ -238,9 +241,15 @@ def _cli():
                        help="logit-pickle directory or glob")
         r.add_argument("-lm", "--lm_checkpoint", required=True)
         r.add_argument("-beams", "--beam_width", type=int, default=25)
-        r.add_argument("-alpha", "--alpha", type=float, default=0.45)
-        r.add_argument("-beta", "--beta", type=float, default=1.53)
-        r.add_argument("-p", "--p", type=float, default=3.17)
+        # grid sweeps every combination of the (repeatable) values; rescore
+        # uses exactly one of each
+        nargs = "+" if name == "grid" else None
+        r.add_argument("-alpha", "--alpha", type=float, nargs=nargs,
+                       default=[0.2, 0.45] if name == "grid" else 0.45)
+        r.add_argument("-beta", "--beta", type=float, nargs=nargs,
+                       default=[0.8, 1.53] if name == "grid" else 1.53)
+        r.add_argument("-p", "--p", type=float, nargs=nargs,
+                       default=[1.5, 3.17] if name == "grid" else 3.17)
         r.add_argument("--stream_batch", type=int, default=1,
                        help=">1 decodes that many recordings per device dispatch")
         r.add_argument("--blank_collapse", type=float, default=0.99)
@@ -283,7 +292,10 @@ def _cli():
         print(f"WER: {wer:.5f}")
     else:
         tlm_beam_grid(paths, factory, tokenizer, beam_width=args.beam_width,
-                      num_workers=1)
+                      alphas=args.alpha, betas=args.beta, prunes=args.p,
+                      num_workers=1, use_device=True,
+                      stream_batch=args.stream_batch,
+                      blank_collapse_threshold=args.blank_collapse)
 
 
 if __name__ == "__main__":

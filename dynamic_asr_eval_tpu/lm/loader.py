@@ -132,8 +132,17 @@ def load_lm_torch_checkpoint(
     ff = state_np.get("layers.0.ff_in.weight")
     expansion = int(ff.shape[0]) // d_model if ff is not None else int(
         cfg_d.get("expansion_factor", 4))
-    heads = n_heads or int(cfg_d.get("n_heads", 0)) or (
-        d_model // 64 if d_model % 64 == 0 else 8)
+    heads = n_heads or int(cfg_d.get("n_heads", 0))
+    if not heads:
+        heads = d_model // 64 if d_model % 64 == 0 else 8
+        if verbose:
+            import sys as _sys
+
+            print(f"load_lm_torch_checkpoint: checkpoint config carries no "
+                  f"n_heads; assuming head_dim=64 → n_heads={heads} (the "
+                  f"published 512d/8h lming shape) — a wrong split changes "
+                  f"rotary partitioning; pass n_heads= explicitly if this is "
+                  f"wrong", file=_sys.stderr)
     config = TransformerLMConfig(
         vocab_size=vocab, n_layers=n_layers, d_model=d_model, n_heads=heads,
         max_cache_length=max_cache_length,
@@ -159,6 +168,17 @@ def load_lm_torch_checkpoint(
     for k in flat_t.keys() & flat_c.keys():
         merged[k] = flat_c[k]
     variables = jax.tree.map(jnp.asarray, unflatten_dict(merged))
+    # attention projections are bias-free in both the lming convention and
+    # this model (tests/torch_oracles.py pins it); a checkpoint that DOES
+    # carry qkv/out biases cannot be represented, and silently dropping them
+    # would shift every attention output — fail loudly instead of warning.
+    attn_biases = [k for k in unmatched
+                   if re.fullmatch(r"(module\.)?layers\.\d+\.(qkv|out)\.bias", k)]
+    if attn_biases:
+        raise ValueError(
+            f"{path}: checkpoint has attention-projection biases "
+            f"({attn_biases[:4]}…) which this bias-free LM cannot represent; "
+            "conversion would silently change scores")
     if verbose:
         missing = sorted("/".join(k) for k in flat_t.keys() - flat_c.keys())
         if unmatched:

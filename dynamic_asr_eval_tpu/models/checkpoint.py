@@ -190,12 +190,15 @@ def infer_conformer_dims(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
         n_dw = len({k for k in state
                     if _re.fullmatch(r"subsampling\.dw_conv\.\d+\.weight", k)})
         dims["subsampling_factor"] = 2 ** (1 + n_dw)
-        # the out dense consumes f_ds·C where f_ds = ceil^stages(feat_in):
-        # feat_in = f_ds·factor is the canonical (multiple-of-factor) preimage
+        # the out dense consumes f_ds·C where f_ds = ceil^stages(feat_in).
+        # The mapping feat_in → f_ds is many-to-one, so the weights pin f_ds
+        # but not feat_in itself; _merge_reference_config keeps a consistent
+        # config feat_in and only falls back to the canonical
+        # (multiple-of-factor) preimage f_ds·factor when the config is absent
+        # or contradicts the weights.
         out_w = state.get("subsampling.out.weight")
         if out_w is not None:
-            f_ds = int(out_w.shape[1]) // dims["subsampling_conv_channels"]
-            dims["feat_in"] = f_ds * dims["subsampling_factor"]
+            dims["_f_ds"] = int(out_w.shape[1]) // dims["subsampling_conv_channels"]
     dw = state.get("layers.0.conv.dw.weight")
     if dw is not None:
         dims["conv_kernel_size"] = int(dw.shape[-1])
@@ -223,6 +226,24 @@ def _merge_reference_config(
     merged = dict(model_cfg)
     attn_total = dims.pop("_attn_total", None)
     batch_from_weights = dims.pop("default_norm", None)
+    f_ds = dims.pop("_f_ds", None)
+    if f_ds is not None:
+        stages = max(int(dims.get("subsampling_factor", 1)).bit_length() - 1, 0)
+
+        def _ceil_ds(f: int) -> int:
+            for _ in range(stages):
+                f = -(-f // 2)
+            return f
+
+        cfg_feat = merged.get("feat_in")
+        if not (isinstance(cfg_feat, int) and _ceil_ds(cfg_feat) == f_ds):
+            canonical = f_ds * int(dims.get("subsampling_factor", 1))
+            if cfg_feat is not None:
+                warns.append(
+                    f"config says feat_in={cfg_feat} but the subsampling out "
+                    f"dense implies {f_ds} downsampled freq bins; using the "
+                    f"canonical preimage feat_in={canonical}")
+            dims["feat_in"] = canonical
     for k, v in dims.items():
         if k in merged and merged[k] != v:
             warns.append(f"config says {k}={merged[k]} but weights imply {v}; "

@@ -165,6 +165,16 @@ def word_error_rate_detail(
     return wer, total_words, total_ins / denom, total_del / denom, total_sub / denom
 
 
+def wer_counts(hypothesis: str, reference: str) -> np.ndarray:
+    """Per-pair ``(ins, del, sub, ref_words)`` counts — the psum-able unit of
+    corpus WER: summing these over records (host-side or via
+    ``parallel.psum_wer_counts`` across a mesh) reproduces
+    :func:`word_error_rate_detail` exactly."""
+    h, r = hypothesis.split(), reference.split()
+    i, d, s = _edit_ops(h, r)
+    return np.array([i, d, s, len(r)], np.int64)
+
+
 def cer(hypotheses: List[str], references: List[str]) -> float:
     """Corpus character error rate."""
     return word_error_rate_detail(hypotheses, references, use_cer=True)[0]

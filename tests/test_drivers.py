@@ -139,6 +139,99 @@ class TestProtocolDrivers:
              "-s", str(tmp_path / "r.pkl")] + KW)
 
 
+class TestGenderTransferDriver:
+    def test_manifest_driven(self, tmp_path):
+        """Manifest path: talk ids resolve genders, per-speaker adapt →
+        same-gender LOO + cross-gender eval, all four transfer tables filled
+        (lcasr/run_cross_speaker_gender_tedlium.py:42-305 semantics)."""
+        import json
+
+        from dynamic_asr_eval_tpu.evals.run_cross_speaker_gender_tedlium import cli
+
+        manifest = tmp_path / "speakers.json"
+        manifest.write_text(json.dumps({
+            "female": [{"talk_id": "synthetic_0"}, {"talk_id": "synthetic_2"}],
+            "male": [{"talk_id": "synthetic_1"}],
+        }))
+        results = cli(["-d", "synthetic", "--quiet",
+                       "--speaker_manifest", str(manifest),
+                       "-s", str(tmp_path / "gender.pkl")] + KW)
+        assert 0.0 <= results["baselines"]["male"] < 10.0
+        assert 0.0 <= results["baselines"]["female"] < 10.0
+        # 2 females -> f_to_f has a LOO partner; 1 male -> m_to_m empty
+        assert len(results["f_to_f"]) == 2 and len(results["f_to_m"]) == 2
+        assert len(results["m_to_f"]) == 1 and results["m_to_m"] == []
+        with open(tmp_path / "gender.pkl", "rb") as f:
+            saved = pickle.load(f)
+        assert "args_dict" in saved and saved["baselines"] == results["baselines"]
+
+    def test_no_manifest_split(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_cross_speaker_gender_tedlium import cli
+
+        results = cli(["-d", "synthetic", "--quiet"] + KW)
+        # alternate split: 2 "male" (0,2), 1 "female" (1)
+        assert len(results["m_to_m"]) == 2 and len(results["f_to_m"]) == 1
+
+
+class TestUtteranceDriver:
+    def test_synthetic_segments(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_utterance_eval import cli
+
+        wer = cli(["-d", "synthetic", "--quiet", "--segment_frames", "128",
+                   "-s", str(tmp_path / "u.pkl")] + KW)
+        assert 0.0 <= wer < 10.0
+        (p,) = _load_pickles(tmp_path)
+        assert "wer" in p and len(p["model_output"]) == 3
+
+
+class TestWav2Vec2Driver:
+    def test_chunked_waveform_tta(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.run_wav2vec2 import cli
+
+        wer = cli(["-d", "synthetic", "--quiet",
+                   "-s", str(tmp_path / "w.pkl"),
+                   "-kwargs", "epochs=1", "online=true"])
+        assert 0.0 <= wer < 10.0
+        (p,) = _load_pickles(tmp_path)
+        assert len(p["model_output"]) == 2
+
+    def test_per_utterance_mode(self):
+        from dynamic_asr_eval_tpu.evals.run_wav2vec2 import cli
+
+        wer = cli(["-d", "synthetic", "--quiet", "--per_utterance",
+                   "-kwargs", "epochs=1"])
+        assert 0.0 <= wer < 10.0
+
+
+class TestEncDecDrivers:
+    def test_inference_default(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.enc_dec_inference_test import cli
+
+        wer = cli(["-d", "synthetic", "--quiet",
+                   "-s", str(tmp_path / "e.pkl")] + KW)
+        assert 0.0 <= wer < 10.0
+        (p,) = _load_pickles(tmp_path)
+        assert "wer" in p
+
+    def test_ctc_beam_joint(self, tmp_path):
+        from dynamic_asr_eval_tpu.evals.enc_dec_ctc_beam_inference_test import cli
+
+        wer = cli(["-d", "synthetic", "--quiet", "-beams", "3",
+                   "-s", str(tmp_path / "j.pkl")] + KW)
+        assert 0.0 <= wer < 10.0
+
+    @pytest.mark.parametrize("mode", ["grpo", "teacher_ce"])
+    def test_dynamic_eval_tta(self, tmp_path, mode):
+        from dynamic_asr_eval_tpu.evals.enc_dec_dynamic_eval_test import cli
+
+        wer = cli(["-d", "synthetic", "--quiet", "--breaks",
+                   "--training_mode", mode,
+                   "-s", str(tmp_path / f"t_{mode}.pkl")] + KW)
+        assert 0.0 <= wer < 10.0
+        (p,) = _load_pickles(tmp_path)
+        assert "args_dict" in p and p["args_dict"]["training_mode"] == mode
+
+
 class TestSweep:
     def test_offline_sweep(self, tmp_path):
         from dynamic_asr_eval_tpu.evals.run_sweep import cli
