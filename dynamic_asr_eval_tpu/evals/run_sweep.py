@@ -49,14 +49,29 @@ def _register_run_scripts():
     })
 
 
-def expand_parameters(params: Dict[str, Any], method: str, n_random: int = 20,
-                      seed: int = 0) -> List[Dict[str, Any]]:
+def _coerce(v):
+    # PyYAML 1.1 parses "1e-5" (no dot) as a string — normalize scalars
     from dynamic_asr_eval_tpu.config import parse_kwarg_value
 
-    def coerce(v):
-        # PyYAML 1.1 parses "1e-5" (no dot) as a string — normalize scalars
-        return parse_kwarg_value(v) if isinstance(v, str) else v
+    return parse_kwarg_value(v) if isinstance(v, str) else v
 
+
+def coerce_parameters(params: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for k, spec in params.items():
+        spec = dict(spec)
+        if "values" in spec:
+            spec["values"] = [_coerce(v) for v in spec["values"]]
+        for bound in ("min", "max"):
+            if bound in spec:
+                spec[bound] = _coerce(spec[bound])
+        out[k] = spec
+    return out
+
+
+def expand_parameters(params: Dict[str, Any], method: str, n_random: int = 20,
+                      seed: int = 0) -> List[Dict[str, Any]]:
+    coerce = _coerce
     keys, spaces = [], []
     rng = random.Random(seed)
     for k, spec in params.items():
@@ -117,20 +132,38 @@ def main(args):
         wandb.agent(sweep_id, function=agent_run, count=args.count)
         return
 
-    # offline fallback
-    combos = expand_parameters(sweep.get("parameters", {}), method, args.count)
+    # offline fallback — grid / random are exhaustive lists; bayes runs the
+    # native TPE surrogate (evals/hpo.py), the same sequential
+    # suggest→run→observe loop wandb's service performs for the reference
+    parameters = coerce_parameters(sweep.get("parameters", {}))
+    maximize = (sweep.get("metric") or {}).get("goal", "minimize") == "maximize"
     results = []
-    for i, overrides in enumerate(combos):
+
+    def run_trial(i, n, overrides):
         run_args = argparse.Namespace(**{**vars(args.base_args), **overrides})
         run_args.split = "dev"
-        print(f"[sweep {i + 1}/{len(combos)}] {overrides}")
+        print(f"[sweep {i + 1}/{n}] {overrides}")
         wer = run_fn(run_args)
         rec = {"overrides": overrides, "WER": wer}
         results.append(rec)
         if args.out:
             with open(args.out, "a") as f:
                 f.write(json.dumps(rec) + "\n")
-    best = min(results, key=lambda r: r["WER"])
+        return wer
+
+    if method == "bayes":
+        from dynamic_asr_eval_tpu.evals.hpo import TPESampler
+
+        tpe = TPESampler(parameters, seed=getattr(args, "seed", 0) or 0,
+                         maximize=maximize)
+        for i in range(args.count):
+            overrides = tpe.suggest()
+            tpe.observe(overrides, run_trial(i, args.count, overrides))
+    else:
+        combos = expand_parameters(parameters, method, args.count)
+        for i, overrides in enumerate(combos):
+            run_trial(i, len(combos), overrides)
+    best = min(results, key=lambda r: (-1 if maximize else 1) * r["WER"])
     print(f"best: WER={best['WER']} with {best['overrides']}")
     return best
 

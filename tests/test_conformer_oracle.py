@@ -18,6 +18,10 @@ A transposed kernel, a mis-fused qkv, a wrong rotary/rel-shift convention,
 or a dropped batch-norm running stat fails these at value level.
 """
 
+import pytest  # noqa: E402 (marker needs it first)
+
+pytestmark = pytest.mark.slow  # torch conformer value oracles
+
 import numpy as np
 import pytest
 

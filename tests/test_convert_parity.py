@@ -13,6 +13,10 @@ to ~1e-4 on random audio.  Any mishandled key or architecture divergence
 Also covers the DDP-prefix torch-pickle round trip used by the LM loader.
 """
 
+import pytest  # noqa: E402 (marker needs it first)
+
+pytestmark = pytest.mark.slow  # real torch wav2vec2 parity
+
 import io
 
 import numpy as np

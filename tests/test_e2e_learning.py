@@ -12,6 +12,10 @@ pseudo-labels and *degrades* the model during adaptation (this exact bug
 shipped with max_label_frames_ratio=0.25 and was caught by this scenario).
 """
 
+import pytest  # noqa: E402 (marker needs it first)
+
+pytestmark = pytest.mark.slow  # end-to-end learning runs
+
 import numpy as np
 import pytest
 

@@ -19,6 +19,10 @@ consistency oracles (``test_reference_oracle.py``) and the converter oracles
   verifies the loss and the adapted-parameter trajectory.
 """
 
+import pytest  # noqa: E402 (marker needs it first)
+
+pytestmark = pytest.mark.slow  # torch enc-dec update/loop oracles
+
 import numpy as np
 import pytest
 

@@ -9,6 +9,10 @@ cache while the twin runs one full causal forward, so agreement also proves
 the ring-buffer/rotary bookkeeping of the step path.
 """
 
+import pytest  # noqa: E402 (marker needs it first)
+
+pytestmark = pytest.mark.slow  # torch LM parity
+
 import os
 import sys
 

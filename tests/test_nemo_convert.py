@@ -1,6 +1,10 @@
 """NeMo backend tests: rel-pos attention correctness + shape-complete
 checkpoint conversion (nvidia_ctc/lib.py:12-14, lcasr_nemo/lib.py:24-29)."""
 
+import pytest  # noqa: E402 (marker needs it first)
+
+pytestmark = pytest.mark.slow  # torch NeMo conversion parity
+
 import jax
 import jax.numpy as jnp
 import numpy as np

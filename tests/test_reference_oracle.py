@@ -13,6 +13,10 @@ adapted-parameter trajectory and the stitched logit matrix agree to fp32
 tolerance over several windows and epochs.
 """
 
+import pytest  # noqa: E402 (marker needs it first)
+
+pytestmark = pytest.mark.slow  # torch loop-oracles (NSTI/AWMC/consistency)
+
 import numpy as np
 import pytest
 

@@ -1,3 +1,7 @@
+
+import pytest
+
+pytestmark = pytest.mark.slow  # NST finetuning pipeline end-to-end
 import os
 
 import numpy as np

@@ -21,6 +21,10 @@ converter; assert the per-utterance log-probs and the adapted parameters
 agree to fp32 tolerance.
 """
 
+import pytest  # noqa: E402 (marker needs it first)
+
+pytestmark = pytest.mark.slow  # torch utterance-loop oracle
+
 import numpy as np
 import pytest
 

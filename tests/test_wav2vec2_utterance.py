@@ -1,3 +1,7 @@
+
+import pytest
+
+pytestmark = pytest.mark.slow  # wav2vec2 utterance end-to-end
 import numpy as np
 import pytest
 
