@@ -429,7 +429,15 @@ class DWStridingSubsampling(nn.Module):
                 h = nn.LayerNorm(epsilon=LN_EPS, dtype=h.dtype, param_dtype=jnp.float32,
                                  name="norm_out")(h)
             return h
-        if cfg.subsampling_impl == "conv":
+        if cfg.subsampling_impl in ("conv", "hybrid"):
+            # "conv": every stride-2 conv via lax.conv_general_dilated.
+            # "hybrid": stage 0 (tiny [B,T,F,1] input, MXU-friendly) and the
+            # 1×1 pointwise convs stay lax.conv, but the DEPTHWISE stride-2
+            # stages — whose input is the giant [B,T/2,F/2,C] stage tensor —
+            # use the phase-reshape tap-sum: pure VPU elementwise work with
+            # no explicit pad of the full tensor, attacking the
+            # pad-to-taps materialization the round-3 profiler trace named
+            # as a 2.4 GB/window HBM mover (PERF.md round-3 item 3).
             h = x[..., None].astype(cfg.compute_dtype)  # [B, T, F, 1]
             h = stage_mask(act(_conv2d_s2(h, k_in, b_in)), 0)
             for i in range(n_stages - 1):
@@ -437,7 +445,14 @@ class DWStridingSubsampling(nn.Module):
                                   nn.initializers.lecun_normal(), (3, 3, 1, C))
                 b_dw = self.param(f"dw_conv_{i}_bias",
                                   nn.initializers.zeros, (C,))
-                h = _conv2d_s2(h, k_dw, b_dw, groups=C)
+                if cfg.subsampling_impl == "hybrid":
+                    taps = _taps_3x3_s2(h)
+                    w_dw = k_dw.reshape(9, C).astype(cfg.compute_dtype)
+                    h = b_dw.astype(cfg.compute_dtype) + sum(
+                        taps[j] * w_dw[j] for j in range(9)
+                    )
+                else:
+                    h = _conv2d_s2(h, k_dw, b_dw, groups=C)
                 h = nn.Conv(C, (1, 1), dtype=cfg.compute_dtype,
                             param_dtype=jnp.float32, name=f"pw_conv_{i}")(h)
                 h = stage_mask(act(h), i + 1)

@@ -177,3 +177,44 @@ class TestModuleIntegration:
         v = mod.init(jax.random.PRNGKey(0), x)
         out = mod.apply(v, x)  # silently uses the XLA path
         assert out.shape[1] == 32
+
+
+class TestImplParity:
+    """The interchangeable XLA-level lowerings ('conv', 'xla' tap-sum,
+    'hybrid' = conv stage-0/pointwise + tap-sum depthwise) must share
+    parameters and produce identical outputs AND gradients, including with
+    ragged lengths (inter-stage masking active)."""
+
+    @pytest.mark.parametrize("impl", ["xla", "hybrid"])
+    def test_matches_conv_fwd_and_grad(self, impl):
+        import dataclasses
+
+        cfg_c = dataclasses.replace(_cfg(), subsampling_impl="conv")
+        cfg_o = dataclasses.replace(cfg_c, subsampling_impl=impl)
+        mod_c = DWStridingSubsampling(cfg_c)
+        mod_o = DWStridingSubsampling(cfg_o)
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((2, 300, 16)), jnp.float32)
+        lens = jnp.asarray([300, 173], jnp.int32)  # ragged → stage masking
+        v = mod_c.init(jax.random.PRNGKey(1), x)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(mod_o.init(jax.random.PRNGKey(1), x)))
+
+        oc = mod_c.apply(v, x, length=lens)
+        oo = mod_o.apply(v, x, length=lens)
+        np.testing.assert_allclose(np.asarray(oo), np.asarray(oc),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(mod, v):
+            h = mod.apply(v, x, length=lens)
+            w = jnp.sin(jnp.arange(h.size, dtype=jnp.float32)).reshape(h.shape)
+            return jnp.sum(h * w)
+
+        gc = jax.grad(lambda vv: loss(mod_c, vv))(v)
+        go = jax.grad(lambda vv: loss(mod_o, vv))(v)
+        flat_c, _ = jax.tree_util.tree_flatten_with_path(gc)
+        flat_o, _ = jax.tree_util.tree_flatten_with_path(go)
+        for (kc, ac), (_, ao) in zip(flat_c, flat_o):
+            np.testing.assert_allclose(
+                np.asarray(ao), np.asarray(ac), rtol=3e-4, atol=3e-4,
+                err_msg=f"{impl} grad mismatch at {jax.tree_util.keystr(kc)}")
