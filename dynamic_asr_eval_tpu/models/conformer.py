@@ -346,6 +346,38 @@ def _conv2d_s2(h: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     return out + bias.astype(h.dtype)
 
 
+@jax.custom_vjp
+def _dw_conv_s2_tapbwd(h: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 3×3 stride-2 conv with a split lowering: FORWARD via
+    ``lax.conv_general_dilated`` (fastest on-chip, PERF.md round-4 A/B),
+    BACKWARD via the VJP of the mathematically identical phase-reshape
+    tap-sum — XLA's native conv transpose materializes a padded+dilated
+    gradient tensor (the 2.4 GB/window mover the round-3 trace named),
+    while the tap-sum transpose is pure pad/slice/elementwise."""
+    return _conv2d_s2(h, kernel, bias, groups=h.shape[-1])
+
+
+def _dw_tapbwd_fwd(h, kernel, bias):
+    return _dw_conv_s2_tapbwd(h, kernel, bias), (h, kernel, bias)
+
+
+def _dw_tapbwd_bwd(res, g):
+    h, kernel, bias = res
+    C = h.shape[-1]
+
+    def tap_sum(hh, kk, bb):
+        w = kk.reshape(9, C).astype(hh.dtype)
+        tps = _taps_3x3_s2(hh)
+        return bb.astype(hh.dtype) + sum(tps[j] * w[j] for j in range(9))
+
+    _, vjp = jax.vjp(tap_sum, h, kernel, bias)
+    return vjp(g)
+
+
+_dw_conv_s2_tapbwd.defvjp(_dw_tapbwd_fwd, _dw_tapbwd_bwd)
+
+
 class DWStridingSubsampling(nn.Module):
     """Depthwise-striding conv subsampling: one full Conv2d stride 2, then
     (log2(factor)-1) × [depthwise stride-2 conv + pointwise conv], SiLU
@@ -429,7 +461,7 @@ class DWStridingSubsampling(nn.Module):
                 h = nn.LayerNorm(epsilon=LN_EPS, dtype=h.dtype, param_dtype=jnp.float32,
                                  name="norm_out")(h)
             return h
-        if cfg.subsampling_impl in ("conv", "hybrid"):
+        if cfg.subsampling_impl in ("conv", "hybrid", "conv_tapbwd"):
             # "conv": every stride-2 conv via lax.conv_general_dilated.
             # "hybrid": stage 0 (tiny [B,T,F,1] input, MXU-friendly) and the
             # 1×1 pointwise convs stay lax.conv, but the DEPTHWISE stride-2
@@ -451,6 +483,8 @@ class DWStridingSubsampling(nn.Module):
                     h = b_dw.astype(cfg.compute_dtype) + sum(
                         taps[j] * w_dw[j] for j in range(9)
                     )
+                elif cfg.subsampling_impl == "conv_tapbwd":
+                    h = _dw_conv_s2_tapbwd(h, k_dw, b_dw)
                 else:
                     h = _conv2d_s2(h, k_dw, b_dw, groups=C)
                 h = nn.Conv(C, (1, 1), dtype=cfg.compute_dtype,

@@ -185,7 +185,7 @@ class TestImplParity:
     parameters and produce identical outputs AND gradients, including with
     ragged lengths (inter-stage masking active)."""
 
-    @pytest.mark.parametrize("impl", ["xla", "hybrid"])
+    @pytest.mark.parametrize("impl", ["xla", "hybrid", "conv_tapbwd"])
     def test_matches_conv_fwd_and_grad(self, impl):
         import dataclasses
 
