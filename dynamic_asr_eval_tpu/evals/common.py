@@ -95,7 +95,7 @@ def build_engine(args, model, cfg: ConformerConfig, engine_kind: str = "dynamic_
     tta = TTAConfig.from_args(args)
     cls = {"dynamic_eval": DynamicEvalEngine, "awmc": AWMCEngine}[engine_kind]
     kwargs = {}
-    if getattr(args, "dp", False):
+    if getattr(args, "dp", False) or getattr(args, "dp_records", False):
         # data-parallel windowed inference over the device mesh
         # (SURVEY §2.3 row 1); tp>1 additionally shards the params — callers
         # who want TP must also pass tp-sharded variables (parallel.shard_params)
@@ -129,13 +129,72 @@ def maybe_shard_variables(engine, variables):
     return {**variables, "params": params}
 
 
+def run_records_dp(engine, variables, records, tokenizer, args, repeat_rng,
+                   repeat_shuffle, rec_counter, beam_search_fn=None,
+                   verbose=True):
+    """``--dp_records`` evaluation loop: records are sharded across the mesh
+    dp axis — each group of dp-size records adapts SIMULTANEOUSLY in one
+    device program (``DynamicEvalEngine.batched``), and corpus WER is reduced
+    ON the mesh with a psum collective (``parallel.reduce_wer_counts``) —
+    SURVEY §2.3 row 1's one-recording-per-chip product mode.
+
+    Trailing partial groups are padded by repeating the last record (its
+    duplicate result is dropped).  Per-record RNG keys fold in the record
+    index exactly like the serial path, so each record's augmentation stream
+    is identical to a serial run."""
+    import jax
+
+    if not hasattr(engine, "batched"):
+        raise ValueError(
+            f"--dp_records needs the NSTI engine (got {type(engine).__name__})")
+    if engine.mesh is None:
+        raise ValueError("--dp_records requires a device mesh (engine.mesh)")
+    ndp = int(engine.mesh.shape["dp"])
+
+    def run_group(group):
+        pads = (-len(group)) % ndp
+        grp = list(group) + [group[-1]] * pads
+        sg = [rec["process_fn"](rec) for rec in grp]
+        keys = [jax.random.fold_in(repeat_rng, next(rec_counter)) for _ in group]
+        keys += [keys[-1]] * pads
+        outs = engine.batched(
+            variables, [s for s, _ in sg], args.seq_len, args.overlap,
+            rngs=keys, shuffle_rng=repeat_shuffle,
+        )
+        return [
+            (normalize(decode_output(out, tokenizer,
+                                     beam_search_fn=beam_search_fn,
+                                     beams=getattr(args, "beams", 1))), gold)
+            for out, (_, gold) in list(zip(outs, sg))[: len(group)]
+        ]
+
+    wer, detail = evaluate_records_grouped(records, run_group, ndp,
+                                           verbose=verbose)
+    # corpus WER re-derived through the mesh collective — the distributed
+    # reduction is the product path here, not an afterthought
+    from dynamic_asr_eval_tpu.parallel import reduce_wer_counts
+    from dynamic_asr_eval_tpu.text.wer import wer_counts
+
+    counts = np.stack([wer_counts(h, g) for h, g in
+                       zip(detail["model_output"], detail["gold"])])
+    tot = reduce_wer_counts(counts, engine.mesh)
+    wer = float((int(tot[0]) + int(tot[1]) + int(tot[2])) / max(int(tot[3]), 1))
+    detail["wer"] = wer
+    return wer, detail
+
+
 def decode_output(out, tokenizer, beam_search_fn: Optional[Callable] = None,
                   beams: int = 1) -> str:
     """Final decode of a stitched engine output: on-device greedy (ids only
-    cross to host), or an LM beam search over the host logits."""
+    cross to host), or an LM beam search.  When the beam fn exposes a
+    device-resident path (``from_engine_output``, lm/loader.py) the stitched
+    matrix stays on device — collapse + segmented decode on chip, no 885 MB
+    host round-trip (PERF.md round-4 LM reconciliation)."""
     if beam_search_fn is not None and beams > 1:
-        logits = out.numpy_logits()
-        return beam_search_fn(logits, beam_width=beams)
+        dev = getattr(beam_search_fn, "from_engine_output", None)
+        if dev is not None and getattr(out, "logits", None) is not None:
+            return dev(out, beam_width=beams)
+        return beam_search_fn(out.numpy_logits(), beam_width=beams)
     ids = out.greedy_ids()
     return tokenizer.decode([int(i) for i in ids])
 

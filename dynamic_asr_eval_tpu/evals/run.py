@@ -58,7 +58,9 @@ def main(args) -> float:
         if decode_batch > 1:
             # batch final LM decodes across recordings: one device program
             # decodes `decode_batch` stitched posterior streams (exact per
-            # stream; aggregate-throughput win, PERF.md round 3)
+            # stream to bf16 noise; NOTE at stitched-scale emission density
+            # the single-stream path measures FASTER even in aggregate —
+            # PERF.md round-4 item 3 — keep 1 unless streams are sparse)
             batched_decode_fn = load_beamsearch_batched(
                 args.language_model, tokenizer, adapter=lm_adapter,
                 pad_streams=decode_batch, **lm_kwargs)
@@ -124,7 +126,14 @@ def main(args) -> float:
         )
         with trace_ctx:
             verbose = not getattr(args, "quiet", False)
-            if batched_decode_fn is not None and getattr(args, "beams", 1) > 1:
+            if getattr(args, "dp_records", False):
+                from dynamic_asr_eval_tpu.evals.common import run_records_dp
+
+                wer, detail = run_records_dp(
+                    engine, variables, records, tokenizer, args,
+                    repeat_rng, repeat_shuffle, rec_counter,
+                    beam_search_fn=beam_search_fn, verbose=verbose)
+            elif batched_decode_fn is not None and getattr(args, "beams", 1) > 1:
                 wer, detail = evaluate_records_grouped(
                     records, run_group, decode_batch, verbose=verbose)
             else:
@@ -152,12 +161,17 @@ def cli(argv=None):
     parser.add_argument("--awmc", action="store_true", help="use the AWMC engine")
     parser.add_argument("--dp", action="store_true",
                         help="data-parallel windowed inference over all devices")
+    parser.add_argument("--dp_records", action="store_true",
+                        help="records-level data parallelism: adapt one "
+                             "recording(-group) per dp slice simultaneously; "
+                             "corpus WER reduced on the mesh via psum")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree of the device mesh (with --dp)")
     parser.add_argument("--decode_batch", type=int, default=1,
                         help="batch final LM beam decodes across this many "
                              "recordings per device program (exact per "
-                             "recording; aggregate-throughput win)")
+                             "recording; wins only for sparse streams — "
+                             "PERF.md round-4 item 3)")
     parser.add_argument("--tokenizer", type=str, default="")
     parser.add_argument("--profile", type=str, default="",
                         help="write a jax.profiler trace of repeat 0 to this dir")

@@ -66,6 +66,14 @@ def main(args) -> float:
             engine_kwargs = {"lm_adapter": lm_adapter,
                              "lm_beam_kwargs": lm_kwargs}
 
+    if getattr(args, "dp_records", False):
+        if engine_cls is not DynamicEvalEngine:
+            raise ValueError("--dp_records supports only the NSTI engine "
+                             "(drop --awmc/--consistency)")
+        from dynamic_asr_eval_tpu.parallel import make_mesh
+
+        engine_kwargs["mesh"] = make_mesh(tp=int(getattr(args, "tp", 1) or 1))
+
     engine = engine_cls(model, cfg.blank_id, cfg.subsampling_factor, tta,
                         **engine_kwargs)
     records = get_dataset(args.dataset, args.split)
@@ -108,7 +116,14 @@ def main(args) -> float:
             return [(normalize(h), gold) for h, (_, gold) in zip(hyps, outs)]
 
         verbose = not getattr(args, "quiet", False)
-        if batched_decode_fn is not None and getattr(args, "beams", 1) > 1:
+        if getattr(args, "dp_records", False):
+            from dynamic_asr_eval_tpu.evals.common import run_records_dp
+
+            wer, detail = run_records_dp(
+                engine, variables, records, tokenizer, args,
+                repeat_rng, repeat_shuffle, rec_counter,
+                beam_search_fn=beam_search_fn, verbose=verbose)
+        elif batched_decode_fn is not None and getattr(args, "beams", 1) > 1:
             wer, detail = evaluate_records_grouped(
                 records, run_group, decode_batch, verbose=verbose)
         else:
@@ -131,6 +146,12 @@ def cli(argv=None):
     parser.add_argument("-s", "--save_path", type=str, default="")
     parser.add_argument("--awmc", action="store_true")
     parser.add_argument("--consistency", action="store_true")
+    parser.add_argument("--dp_records", action="store_true",
+                        help="records-level data parallelism (NSTI only): "
+                             "one recording(-group) per dp slice; corpus WER "
+                             "reduced on the mesh via psum")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree of the mesh (with --dp_records)")
     parser.add_argument("--decode_batch", type=int, default=1,
                         help="batch final LM beam decodes across this many "
                              "recordings per device program")

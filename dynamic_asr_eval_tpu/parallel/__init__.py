@@ -3,6 +3,7 @@ from dynamic_asr_eval_tpu.parallel.mesh import (
     conformer_param_sharding,
     make_mesh,
     psum_wer_counts,
+    reduce_wer_counts,
     replicate,
     shard_params,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "conformer_param_sharding",
     "make_mesh",
     "psum_wer_counts",
+    "reduce_wer_counts",
     "replicate",
     "shard_params",
 ]

@@ -105,3 +105,29 @@ def psum_wer_counts(err_counts, axis_name: str = "dp"):
     """All-reduce (ins, del, sub, words) count vectors across the mesh —
     the distributed form of corpus-level WER accumulation."""
     return jax.lax.psum(err_counts, axis_name)
+
+
+def reduce_wer_counts(counts: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """``[R, 4]`` per-record ``(ins, del, sub, words)`` counts → corpus
+    totals, reduced ON the mesh: the record axis is sharded over dp, each
+    slice sums locally, and one :func:`psum_wer_counts` collective produces
+    the replicated corpus totals (the multi-chip form of the reference's
+    host-side accumulation, ``lcasr/run.py:119``).
+
+    Summing edit-op counts is exactly how ``word_error_rate_detail``
+    aggregates, so ``(i+d+s)/words`` of the result equals the serial corpus
+    WER."""
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    dp = int(mesh.shape["dp"])
+    c = np.asarray(counts, np.int64).reshape(-1, 4)
+    pad = (-c.shape[0]) % dp
+    if pad:
+        c = np.concatenate([c, np.zeros((pad, 4), np.int64)])
+
+    f = shard_map(
+        lambda x: psum_wer_counts(jnp.sum(x, axis=0)),
+        mesh=mesh, in_specs=P("dp", None), out_specs=P(),
+    )
+    return np.asarray(jax.jit(f)(jnp.asarray(c)))

@@ -302,9 +302,10 @@ class DynamicEvalEngine:
 
         return (new_params, new_opt, key, acc), loss
 
-    def _build_adapt(self, W: int, N: int, total_ds: int, online: bool):
-        """One jitted call per recording-shape bucket: optimizer init + scan
-        over windows (+ online stitching)."""
+    def _make_adapt_run(self, W: int, N: int, total_ds: int, online: bool):
+        """The per-recording adaptation as an UNJITTED pure function —
+        ``_build_adapt`` jits it directly; ``_build_adapt_batched`` vmaps the
+        record axis over it (records-level data parallelism)."""
         T_ds = self.out_len_fn(W)
         max_tokens = max(8, int(T_ds * self.max_label_frames_ratio))
         V = self.n_classes
@@ -333,9 +334,58 @@ class DynamicEvalEngine:
                 return params, opt_state, losses, log_avg, acc[1][:total_ds]
             return params, opt_state, losses
 
-        # NOTE: no donation of params — madgrad's x0 state aliases the
-        # incoming params buffer on the first call (double-donation trap).
-        return jax.jit(run)
+        return run
+
+    def _build_adapt(self, W: int, N: int, total_ds: int, online: bool):
+        """One jitted call per recording-shape bucket: optimizer init + scan
+        over windows (+ online stitching).
+
+        NOTE: no donation of params — madgrad's x0 state aliases the
+        incoming params buffer on the first call (double-donation trap)."""
+        return jax.jit(self._make_adapt_run(W, N, total_ds, online))
+
+    def _build_adapt_batched(self, W: int, N: int, total_ds: int, online: bool):
+        """Records-level DP: the record axis is vmapped over the per-recording
+        scan (params/opt-state/stitch accumulators all carry an [R, ...] lead
+        axis — R independent adaptations in one device program).  With a mesh
+        the vmapped program is wrapped in ``shard_map`` over dp — records-DP
+        is embarrassingly parallel, so expressing the split explicitly (each
+        device runs the single-device program on its R/dp records, zero
+        collectives) beats handing GSPMD a sharded batch to re-derive the
+        same thing; it also keeps the per-device executable identical to the
+        proven no-mesh program."""
+        run = self._make_adapt_run(W, N, total_ds, online)
+        # (params, opt_state, extra_vars, spec, starts, lengths, starts_ds,
+        #  order, key) — everything per-record except the shared extra_vars
+        batched = jax.vmap(run, in_axes=(0, 0, None, 0, 0, 0, 0, 0, 0))
+        return jax.jit(self._records_shard_map(batched, replicated_argnum=2))
+
+    def _records_shard_map(self, batched_fn, replicated_argnum: int):
+        """Wrap a records-vmapped function in ``shard_map`` over the mesh dp
+        axis: every input pytree leaf except ``extra_vars``
+        (``replicated_argnum``) carries a leading record axis split over dp;
+        every output leaf does too."""
+        if self.mesh is None:
+            return batched_fn
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        dp = P("dp")
+
+        def wrapped(*args):
+            specs = tuple(
+                jax.tree.map(lambda _: P(), a) if i == replicated_argnum
+                else jax.tree.map(lambda _: dp, a)
+                for i, a in enumerate(args)
+            )
+            out_shape = jax.eval_shape(batched_fn, *args)
+            out_specs = jax.tree.map(lambda _: dp, out_shape)
+            return shard_map(
+                batched_fn, mesh=self.mesh, in_specs=specs,
+                out_specs=out_specs, check_vma=False,
+            )(*args)
+
+        return wrapped
 
     def _build_opt_init(self):
         def init(params):
@@ -343,11 +393,20 @@ class DynamicEvalEngine:
 
         return jax.jit(init)
 
+    def _build_opt_init_batched(self):
+        def init(params_b):
+            return jax.vmap(self.optimizer_wrapped.init)(params_b)
+
+        return jax.jit(init)
+
     # -- inference (no-grad chunked forward + stitch) ----------------------
-    def _build_infer(self, W: int, N: int, total_ds: int):
+    def _make_infer_run(self, W: int, N: int, total_ds: int, use_mesh: bool = True):
+        """Unjitted chunked no-grad forward + stitch; ``use_mesh=False`` for
+        the records-batched variant (there the RECORD axis is the dp axis, so
+        window-level dp sharding must stay off)."""
         b = self.infer_batch
-        ndp = 1
-        if self.mesh is not None:
+        use_mesh = use_mesh and self.mesh is not None
+        if use_mesh:
             # window batch must tile the dp axis; each scan step then runs
             # dp-many windows per device group in parallel
             ndp = int(self.mesh.shape.get("dp", 1))
@@ -356,7 +415,8 @@ class DynamicEvalEngine:
         n_batches = -(-N // b)
         pad_N = n_batches * b
 
-        def run(variables, spec_dev, starts, lengths, starts_ds):
+        def run(params, extra_vars, spec_dev, starts, lengths, starts_ds):
+            variables = {"params": params, **extra_vars}
             F = spec_dev.shape[0]
             if pad_N != N:
                 zpad = lambda a: jnp.concatenate([a, jnp.zeros((pad_N - N,), a.dtype)])
@@ -371,7 +431,7 @@ class DynamicEvalEngine:
                 w = jax.vmap(
                     lambda st: jax.lax.dynamic_slice(spec_dev, (0, st), (F, W))
                 )(s).astype(jnp.float32)
-                if self.mesh is not None:
+                if use_mesh:
                     from jax.sharding import NamedSharding, PartitionSpec
 
                     w = jax.lax.with_sharding_constraint(
@@ -406,7 +466,15 @@ class DynamicEvalEngine:
             )
             return log_avg, acc_counts[:total_ds]
 
-        return jax.jit(run)
+        return run
+
+    def _build_infer(self, W: int, N: int, total_ds: int):
+        return jax.jit(self._make_infer_run(W, N, total_ds))
+
+    def _build_infer_batched(self, W: int, N: int, total_ds: int):
+        run = self._make_infer_run(W, N, total_ds, use_mesh=False)
+        batched = jax.vmap(run, in_axes=(0, None, 0, 0, 0, 0))
+        return jax.jit(self._records_shard_map(batched, replicated_argnum=1))
 
     # -- host-side plan ----------------------------------------------------
     def _plan(self, spec: np.ndarray, seq_len: int, overlap: int):
@@ -527,7 +595,7 @@ class DynamicEvalEngine:
             if ikey not in self._infer_cache:
                 self._infer_cache[ikey] = self._build_infer(W, N, total_ds)
             log_avg, counts = self._infer_cache[ikey](
-                {"params": adapted, **extra_vars}, spec_dev, starts, lengths, starts_ds
+                adapted, extra_vars, spec_dev, starts, lengths, starts_ds
             )
 
         log_avg.block_until_ready()
@@ -542,6 +610,161 @@ class DynamicEvalEngine:
             elapsed=elapsed,
             blank_id=self.blank_id,
         )
+
+
+    # -- records-level data parallelism -------------------------------------
+    def batched(
+        self,
+        variables: Dict[str, Any],
+        specs,  # list of [F, T_r] (or [1, F, T_r]) spectrograms
+        seq_len: int = -1,
+        overlap: int = -1,
+        rng: Optional[jax.Array] = None,
+        shuffle_rng: Optional[np.random.Generator] = None,
+        rngs=None,  # optional [R] per-record keys (else split from rng)
+    ):
+        """Adapt R recordings SIMULTANEOUSLY (``--dp_records``, SURVEY §2.3
+        row 1: one recording(-group) per device).  Every recording runs the
+        same independent per-recording adaptation as :meth:`__call__` — the
+        record axis is vmapped, and when the engine carries a mesh it is
+        sharded over dp, so each dp slice holds only its own records' param
+        copies, optimizer state, and stitch accumulators.
+
+        Returns ``List[EngineOutput]`` (one per input recording, same order).
+
+        Memory: R divergent parameter copies + optimizer states live at once
+        (that is the point — they adapt in parallel); callers group records
+        into dp-sized batches.  With a mesh, R must divide evenly over dp."""
+        cfg = self.config
+        seq_len = cfg.seq_len if seq_len == -1 else seq_len
+        overlap = cfg.overlap if overlap == -1 else overlap
+        specs = [np.asarray(s) for s in specs]
+        specs = [s[0] if s.ndim == 3 else s for s in specs]
+        R = len(specs)
+        if self.mesh is not None:
+            ndp = int(self.mesh.shape.get("dp", 1))
+            if R % ndp:
+                raise ValueError(
+                    f"records batch ({R}) must be a multiple of the mesh dp "
+                    f"size ({ndp}); pad the group (repeat a record, drop its "
+                    "duplicate result)")
+        F = specs[0].shape[0]
+        max_n = max(s.shape[-1] for s in specs)
+        W = min(seq_len, max_n)
+        if overlap % self.ds:
+            raise ValueError(
+                f"overlap ({overlap}) must be a multiple of the subsampling "
+                f"factor ({self.ds})")
+        if max_n > W and W % self.ds:
+            raise ValueError(
+                f"seq_len ({W}) must be a multiple of the subsampling factor "
+                f"({self.ds}) when any spectrogram spans multiple windows")
+
+        plans = [chunk_starts_and_lengths(s.shape[-1], W, overlap if s.shape[-1] > W else 0)
+                 for s in specs]
+        N = pad_num_chunks(max(len(p[0]) for p in plans))
+        starts_np = np.zeros((R, N), np.int32)
+        lengths_np = np.zeros((R, N), np.int32)
+        for r, (st, ln) in enumerate(plans):
+            starts_np[r, : len(st)] = st
+            lengths_np[r, : len(ln)] = ln
+        T_pad = int(max(starts_np.max() + W, max_n))
+        spec_b = np.zeros((R, F, T_pad), dtype=specs[0].dtype)
+        for r, s in enumerate(specs):
+            spec_b[r, :, : s.shape[-1]] = s
+        total_ds = _ds_ceil(max_n, self.ds) + _ds_ceil(W, self.ds)
+
+        params = variables["params"]
+        extra_vars = {k: v for k, v in variables.items() if k != "params"}
+        if self.optimizer_wrapped is None:
+            self.optimizer_wrapped = self._wrap_optimizer(params)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        shuffle_rng = shuffle_rng or np.random.default_rng(0)
+
+        t0 = time.time()
+        dp_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def dp_shard(a):  # noqa: F811 — shard axis 0 over dp
+                spec = PartitionSpec(*(("dp",) + (None,) * (a.ndim - 1)))
+                return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+        def put(a):
+            a = jnp.asarray(a)
+            return dp_shard(a) if dp_shard is not None else a
+
+        spec_dev = put(np.asarray(spec_b, self.transfer_dtype))
+        starts = put(starts_np)
+        lengths = put(lengths_np)
+        starts_ds = put(starts_np // self.ds)
+        keys = put(jnp.stack(list(rngs)) if rngs is not None
+                   else jax.random.split(rng, R))
+
+        # R divergent copies of the params (and optimizer state): tiled once
+        # on device, sharded over dp when a mesh is present
+        tile_key = ("tile", R)
+        if tile_key not in self._adapt_cache:
+            self._adapt_cache[tile_key] = jax.jit(
+                lambda p: jax.tree.map(
+                    lambda a: jnp.broadcast_to(a[None], (R,) + a.shape), p))
+        adapted = self._adapt_cache[tile_key](params)
+        if dp_shard is not None:
+            adapted = jax.tree.map(dp_shard, adapted)
+
+        online_result = None
+        if cfg.epochs > 0:
+            akey = ("dp_records", W, N, total_ds, cfg.online, R)
+            if akey not in self._adapt_cache:
+                self._adapt_cache[akey] = self._build_adapt_batched(W, N, total_ds, cfg.online)
+                self._adapt_cache["opt_init_b"] = self._build_opt_init_batched()
+            adapt = self._adapt_cache[akey]
+            opt_state = self._adapt_cache["opt_init_b"](adapted)
+            for _ in range(cfg.epochs):
+                if cfg.shuffle:
+                    order = np.stack([
+                        np.concatenate([shuffle_rng.permutation(len(plans[r][0])),
+                                        np.arange(len(plans[r][0]), N)])
+                        for r in range(R)
+                    ]).astype(np.int32)
+                else:
+                    order = np.broadcast_to(np.arange(N, dtype=np.int32), (R, N))
+                # mirror the serial path's `rng, ekey = jax.random.split(rng)`
+                # per record, so a record's augmentation-noise stream is
+                # IDENTICAL whether it runs serially or in a records batch
+                sk = jax.vmap(jax.random.split)(keys)
+                keys, ekeys = sk[:, 0], sk[:, 1]
+                if cfg.online:
+                    adapted, opt_state, losses, log_avg, counts = adapt(
+                        adapted, opt_state, extra_vars, spec_dev,
+                        starts, lengths, starts_ds, put(order), ekeys,
+                    )
+                    online_result = (log_avg, counts)
+                else:
+                    adapted, opt_state, losses = adapt(
+                        adapted, opt_state, extra_vars, spec_dev,
+                        starts, lengths, starts_ds, put(order), ekeys,
+                    )
+
+        if cfg.online and online_result is not None:
+            log_avg, counts = online_result
+        else:
+            ikey = ("dp_records", W, N, total_ds, R)
+            if ikey not in self._infer_cache:
+                self._infer_cache[ikey] = self._build_infer_batched(W, N, total_ds)
+            log_avg, counts = self._infer_cache[ikey](
+                adapted, extra_vars, spec_dev, starts, lengths, starts_ds
+            )
+
+        log_avg.block_until_ready()
+        elapsed = time.time() - t0
+        return [
+            EngineOutput(
+                logits=log_avg[r], counts=counts[r], params=None,
+                elapsed=elapsed / R, blank_id=self.blank_id,
+            )
+            for r in range(R)
+        ]
 
 
 def chunked_inference(

@@ -100,6 +100,25 @@ class TestPerRecordingDrivers:
         assert dp["model_output"] == serial["model_output"]
         assert dp["wer"] == serial["wer"]
 
+    def test_full_driver_dp_records_matches_serial(self, tmp_path):
+        """run_dynamic_eval_full --dp_records must equal its serial loop
+        (same mesh/psum path as run.py, plus the engine-kind guard)."""
+        from dynamic_asr_eval_tpu.evals.run_dynamic_eval_full import cli
+
+        base = ["-d", "synthetic", "--quiet"] + KW
+        cli(base + ["-s", str(tmp_path / "serial" / "r.pkl")])
+        cli(base + ["--dp_records", "-s", str(tmp_path / "dp" / "r.pkl")])
+        (serial,) = _load_pickles(tmp_path / "serial")
+        (dp,) = _load_pickles(tmp_path / "dp")
+        assert dp["model_output"] == serial["model_output"]
+        assert dp["wer"] == serial["wer"]
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            cli(base + ["--dp_records", "--awmc",
+                        "-s", str(tmp_path / "x" / "r.pkl")])
+
     def test_full_driver_lm_decode(self, tmp_path):
         """run_dynamic_eval_full honors -lm like the reference
         (lcasr/run_dynamic_eval_full.py:56-65,94-104): the LM beam decode

@@ -103,7 +103,7 @@ def test_tp_indivisible_falls_back_to_replication():
 def test_psum_wer_counts():
     mesh = make_mesh()  # dp=8
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     counts = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
 
@@ -145,6 +145,7 @@ def _nsti_step_fn(model, optimizer, blank, max_tokens, sa, fs, co):
     return train_step
 
 
+@pytest.mark.slow
 def test_dp_tp_sp_step_matches_single_device():
     """One NSTI update on a dp=2×tp=2×sp=2 mesh must (a) run, (b) produce a
     finite loss, (c) move the parameters, and (d) agree with the identical
@@ -206,6 +207,7 @@ def test_dp_tp_sp_step_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_seq_shard_reduces_per_device_activation_memory():
     """Real sequence parallelism, not placement: an sp-sharded window with
     seq_shard_axes set must (a) cut the compiled per-device temp allocation
@@ -281,6 +283,7 @@ def test_batch_sharding_and_replicate_roundtrip():
     np.testing.assert_array_equal(np.asarray(rep["a"]), np.ones((3,)))
 
 
+@pytest.mark.slow
 def test_dp_infer_matches_single_device():
     """DynamicEvalEngine(mesh=...) shards the no-grad window batch over dp;
     stitched output must match the unsharded engine bit-for-bit (same fp32
@@ -307,6 +310,7 @@ def test_dp_infer_matches_single_device():
     np.testing.assert_array_equal(np.asarray(out_dp.counts), np.asarray(out_plain.counts))
 
 
+@pytest.mark.slow
 def test_dp_infer_batch_rounds_to_mesh():
     from dynamic_asr_eval_tpu.config import TTAConfig
     from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
@@ -321,3 +325,96 @@ def test_dp_infer_batch_rounds_to_mesh():
     spec = np.random.default_rng(4).standard_normal((cfg.feat_in, 1500)).astype(np.float32)
     out = eng(variables, spec)  # b=3 must round up to 8 without breaking stitch
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+@pytest.mark.slow
+def test_dp_records_batched_matches_serial():
+    """Records-level data parallelism (SURVEY §2.3 row 1, ``--dp_records``):
+    R recordings adapted SIMULTANEOUSLY in one vmapped+dp-sharded device
+    program must reproduce the serial per-recording adaptation — same
+    per-record RNG keys, same window plans, same stitched posteriors —
+    including ragged record lengths (shorter records ride padded window
+    plans inside the batch)."""
+    from dynamic_asr_eval_tpu.config import TTAConfig
+    from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
+
+    cfg = _tiny_cfg()
+    model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=128)
+    tta = TTAConfig(
+        seq_len=128, overlap=64, epochs=1, online=True, shuffle=False,
+        lm_tta_beams=0,
+    )
+
+    rng = np.random.default_rng(7)
+    # ragged (2 distinct lengths — each extra distinct length is a whole
+    # extra XLA compile of the serial adapt scan on this 1-CPU box)
+    lengths = [320, 256, 320, 256]
+    specs = [rng.standard_normal((cfg.feat_in, T)).astype(np.float32)
+             for T in lengths]
+    base = jax.random.PRNGKey(11)
+    keys = [jax.random.fold_in(base, i) for i in range(len(specs))]
+
+    serial = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+    ref = [serial(variables, s, rng=k, shuffle_rng=np.random.default_rng(0))
+           for s, k in zip(specs, keys)]
+
+    mesh = make_mesh(n_devices=4)  # dp=4: one record per virtual device
+    eng = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta,
+                            mesh=mesh)
+    outs = eng.batched(variables, specs, rngs=keys,
+                       shuffle_rng=np.random.default_rng(0))
+
+    assert len(outs) == len(ref)
+    for r, (o, e) in enumerate(zip(outs, ref)):
+        n = int(np.sum(np.asarray(e.counts) > 0))
+        np.testing.assert_array_equal(
+            np.asarray(o.counts)[:n], np.asarray(e.counts)[:n],
+            err_msg=f"record {r} coverage counts diverged",
+        )
+        assert not np.any(np.asarray(o.counts)[n:] > 0)
+        np.testing.assert_allclose(
+            np.asarray(o.logits)[:n], np.asarray(e.logits)[:n],
+            rtol=5e-4, atol=5e-4,
+            err_msg=f"record {r} stitched posteriors diverged",
+        )
+        np.testing.assert_array_equal(o.greedy_ids(), e.greedy_ids())
+
+
+def test_reduce_wer_counts_matches_host_sum():
+    from dynamic_asr_eval_tpu.parallel import reduce_wer_counts
+
+    mesh = make_mesh()
+    counts = np.arange(24, dtype=np.int64).reshape(6, 4)  # 6 records, dp=8 pads
+    tot = reduce_wer_counts(counts, mesh)
+    np.testing.assert_array_equal(np.asarray(tot), counts.sum(axis=0))
+
+
+@pytest.mark.slow
+def test_engine_adapt_under_dp_tp_mesh_matches_single_device():
+    """The DynamicEvalEngine's OWN adapt scan (not a hand-rolled step) run
+    with a dp×tp mesh and tp-sharded parameters must match the single-device
+    engine within fp32 tolerance (VERDICT r3 ask #7 — the --dp --tp 2 driver
+    path's engine seam)."""
+    from dynamic_asr_eval_tpu.config import TTAConfig
+    from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
+
+    cfg = _tiny_cfg()
+    model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=128)
+    tta = TTAConfig(seq_len=128, overlap=64, epochs=1, online=True,
+                    shuffle=False, lm_tta_beams=0)
+    spec = np.random.default_rng(5).standard_normal((cfg.feat_in, 320)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    plain = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+    ref = plain(variables, spec, rng=key, shuffle_rng=np.random.default_rng(0))
+
+    mesh = make_mesh(tp=2)  # dp=4 × tp=2
+    eng = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta,
+                            mesh=mesh)
+    placed, _ = shard_params(variables["params"], mesh)
+    out = eng({**variables, "params": placed}, spec, rng=key,
+              shuffle_rng=np.random.default_rng(0))
+
+    np.testing.assert_array_equal(np.asarray(out.counts), np.asarray(ref.counts))
+    np.testing.assert_allclose(
+        np.asarray(out.logits), np.asarray(ref.logits), rtol=5e-4, atol=5e-4)
