@@ -295,6 +295,38 @@ def load_beamsearch(
         ids = [int(x) for x in np.asarray(toks[0])[: int(lens[0])]]
         return tokenizer.decode(ids)
 
+    def from_engine_output(out, beam_width: int = 20) -> str:
+        """Device-resident final decode: the engine's stitched posteriors
+        are ALREADY a device array (``EngineOutput.logits``) — collapse and
+        decode on chip; only token ids and two scalars cross to the host.
+        Exact w.r.t. ``beam_search_fn(out.numpy_logits())``, which round-
+        trips ~885 MB through host numpy + the transfer link at stitched
+        scale (PERF.md round-4 LM reconciliation: those host phases, not
+        the decode, were the contended-machine regression)."""
+        from dynamic_asr_eval_tpu.ops.beam_search import (
+            beam_search_segmented,
+            collapse_blank_frames_device,
+        )
+
+        if blank_collapse_threshold is not None:
+            # full padded buffer in, valid_frames masks the stitch padding —
+            # keeps ONE collapse compilation per engine shape bucket
+            lp_c, n_kept = collapse_blank_frames_device(
+                out.logits, threshold=blank_collapse_threshold,
+                valid_frames=jnp.sum(out.counts > 0))
+            lp = lp_c[: int(n_kept)]
+        else:
+            lp = out.logits[: int(jnp.sum(out.counts > 0))]
+        toks, lens, _ = beam_search_segmented(
+            lp, adapter, segment_frames=segment_frames,
+            beam_width=beam_width, alpha=alpha, beta=beta,
+            top_am_threshold=top_am_threshold,
+            prune_less_than_val=prune_less_than_val,
+        )
+        ids = [int(x) for x in np.asarray(toks[0])[: int(lens[0])]]
+        return tokenizer.decode(ids)
+
+    beam_search_fn.from_engine_output = from_engine_output
     return beam_search_fn
 
 
@@ -320,9 +352,12 @@ def load_beamsearch_batched(
 
     One recording's LM-fused decode runs beam-width-sized LM matmuls that
     leave the MXU mostly idle; batching S recordings widens every op to
-    S·beam_width, raising aggregate throughput (per-recording results stay
-    EXACT w.r.t. the single-stream path).  This is the final-decode analogue
-    of the reference's ray CPU fan-out in ``tlm_beam.py``.
+    S·beam_width (per-recording results match the single-stream path to
+    bf16-LM noise).  This is the final-decode analogue of the reference's
+    ray CPU fan-out in ``tlm_beam.py`` — but note the round-4 bench: at
+    stitched-scale emission density (~50% post-collapse) the single-stream
+    path's branch skipping wins even in AGGREGATE (PERF.md round-4 item 3);
+    use stream batching for sparse streams (logit-dump rescoring).
 
     Shapes are padded for compile reuse: time to the next ``segment_frames``
     multiple, stream count to ``pad_streams`` when given (pass the caller's

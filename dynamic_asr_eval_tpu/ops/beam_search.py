@@ -37,6 +37,7 @@ LM interface (both versions): an adapter with
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Callable, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -151,6 +152,36 @@ def collapse_blank_frames(
     prev_dom = np.concatenate([[False], blank_dom[:-1]])
     keep = ~(blank_dom & prev_dom)  # keep the first blank of each run
     return lp[keep]
+
+
+@partial(jax.jit, static_argnames=("blank_id",))
+def collapse_blank_frames_device(
+    log_probs: jnp.ndarray,  # [T, V+1] device log-probs
+    blank_id: Optional[int] = None,
+    threshold: float = 0.995,
+    valid_frames: Optional[jnp.ndarray] = None,
+):
+    """Device-resident :func:`collapse_blank_frames`: same keep rule, but the
+    compaction happens ON the chip (cumsum index + one scatter), so the
+    stitched posterior matrix never crosses to the host.  This is the
+    TPU-native final-decode path — the engine's ``EngineOutput.logits`` is
+    already a device array, and round-tripping it (885 MB at Earnings-22
+    scale) through host numpy + the tunnel costs more than the decode itself
+    under host load (PERF.md round-4 LM reconciliation).
+
+    Returns ``(compacted [T, V+1] — rows ≥ n_kept are zeros, n_kept)``;
+    slice with ``int(n_kept)`` before decoding."""
+    lp = log_probs
+    T = lp.shape[0]
+    blank = lp.shape[1] - 1 if blank_id is None else blank_id
+    valid = (jnp.arange(T) < valid_frames) if valid_frames is not None else jnp.ones((T,), bool)
+    blank_dom = (lp[:, blank] > jnp.log(threshold)) & valid
+    prev_dom = jnp.concatenate([jnp.zeros((1,), bool), blank_dom[:-1]])
+    keep = ~(blank_dom & prev_dom) & valid
+    idx = jnp.cumsum(keep) - 1
+    pos = jnp.where(keep, idx, T)  # dropped rows scatter off the end
+    out = jnp.zeros_like(lp).at[pos].set(lp, mode="drop")
+    return out, jnp.sum(keep).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -774,11 +805,13 @@ def beam_search_streams(
     streams widens every op (LM batch S·B, S-lane merge/top-k) at the price
     of losing the per-frame branch skipping (under vmap, ``lax.switch``
     executes all branches and selects, so the blank fast path and the lazy
-    LM carry no longer skip work).  Per-stream wall-clock therefore rises
-    while AGGREGATE throughput grows with S — this is the right call for
-    multi-recording workloads (TLM rescoring over logit dumps, dataset-level
-    evals); single recordings should keep :func:`beam_search_segmented`.
-    Measured on chip: see PERF.md (round 3, batched decode).
+    LM carry no longer skip work).  Per-stream wall-clock therefore rises —
+    and the round-4 on-chip bench shows that at realistic post-collapse
+    emission density (~50%) the AGGREGATE loses too (S=4: RTFx 108.5 vs
+    122.8 single-stream; PERF.md round-4 item 3): the skips are worth more
+    than the MXU widening there.  Use for LOW-density streams (TLM
+    rescoring over logit dumps); single recordings and stitched-scale
+    decodes should keep :func:`beam_search_segmented`.
 
     Per-stream results are EXACT w.r.t. :func:`beam_search_segmented` on the
     same stream (``tests/test_beam_search.py::TestStreams``).  Returns

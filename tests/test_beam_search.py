@@ -379,6 +379,36 @@ class TestBlankCollapse:
         )
         assert list(np.asarray(toks[0])[: int(lens[0])]) == [2, 2, 2]
 
+    def test_device_collapse_matches_host(self):
+        """collapse_blank_frames_device (the TPU-resident final-decode path)
+        must reproduce the host keep rule row-for-row, incl. valid_frames
+        masking of the engine's stitch padding."""
+        from dynamic_asr_eval_tpu.ops.beam_search import (
+            collapse_blank_frames,
+            collapse_blank_frames_device,
+        )
+
+        V, blank = 10, 10
+        lp = clean_emissions([3, 5, 5, 7, 2], V, blank, frames_per=2,
+                             blanks_between=6, peak=9.0)
+        host = collapse_blank_frames(lp, threshold=0.9)
+        dev, n = collapse_blank_frames_device(jnp.asarray(lp), threshold=0.9)
+        assert int(n) == host.shape[0]
+        np.testing.assert_allclose(np.asarray(dev)[: int(n)], host,
+                                   rtol=1e-6, atol=1e-6)
+        assert not np.any(np.asarray(dev)[int(n):])  # compaction zero-fills
+
+        # padded stitch rows (all-zero log-probs) must be excluded by
+        # valid_frames, not treated as emitting frames
+        T = lp.shape[0]
+        padded = np.concatenate([lp, np.zeros((7, V + 1), np.float32)])
+        dev_p, n_p = collapse_blank_frames_device(
+            jnp.asarray(padded), threshold=0.9,
+            valid_frames=jnp.asarray(T, jnp.int32))
+        assert int(n_p) == host.shape[0]
+        np.testing.assert_allclose(np.asarray(dev_p)[: int(n_p)], host,
+                                   rtol=1e-6, atol=1e-6)
+
 
 class TestSegmentedDecode:
     """beam_search_segmented must be bit-equivalent to one long scan — it is

@@ -286,6 +286,21 @@ class TestLMLoader:
         text = fn(lp, beam_width=4)
         assert isinstance(text, str)
 
+        # device-resident path: collapsing + decoding the engine's device
+        # matrix (EngineOutput) must emit the SAME text as the host path,
+        # including when the stitch buffer carries zero-count padding rows
+        import jax.numpy as jnp
+
+        from dynamic_asr_eval_tpu.tta.runner import EngineOutput
+
+        pad = 5
+        lp_padded = np.concatenate([lp, np.zeros((pad, V + 1), np.float32)])
+        counts = np.concatenate([np.ones((lp.shape[0],), np.float32),
+                                 np.zeros((pad,), np.float32)])
+        out = EngineOutput(jnp.asarray(lp_padded), jnp.asarray(counts),
+                           None, 0.0, blank)
+        assert fn.from_engine_output(out, beam_width=4) == text
+
 
 class TestLexiconReviewRegressions:
     def test_incomplete_final_word_not_returned(self):
