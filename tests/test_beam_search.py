@@ -491,6 +491,7 @@ class TestStreams:
         lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
         return lp
 
+    @pytest.mark.slow
     def test_streams_match_segmented_transformer_lm(self):
         from dynamic_asr_eval_tpu.lm.transformer_lm import (
             TransformerLMConfig, init_lm,

@@ -19,6 +19,7 @@ def _rand_batch(rng, B, T, V, Umax, blank_id):
     return np.asarray(log_probs), input_lengths, labels, label_lengths
 
 
+@pytest.mark.slow
 class TestCTCLossVsTorch:
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_matches_torch_sum(self, seed):

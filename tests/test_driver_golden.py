@@ -47,6 +47,38 @@ def _ref_config():
             "training": {"dtype": "float32"}}
 
 
+def _make_ckpt(tmp_path, seed=0):
+    torch.manual_seed(seed)
+    tm = TorchSCConformer(**DIMS).eval()
+    ckpt = str(tmp_path / "ref.pt")
+    torch.save({"model": tm.state_dict(), "config": _ref_config()}, ckpt)
+    return tm, ckpt
+
+
+def _torch_mini_driver(tm, loop_fn):
+    """Run ``loop_fn(model, spec_t) -> stitched`` over the synthetic records
+    from pristine weights (per-recording restore, lcasr/run.py:94) and
+    return (hyps, golds) through the same tokenizer/normalizer the CLI uses."""
+    from dynamic_asr_eval_tpu.data import get_dataset
+    from dynamic_asr_eval_tpu.text import load_tokenizer, normalize
+
+    tokenizer = load_tokenizer(None)
+    state = {k: v.clone() for k, v in tm.state_dict().items()}
+    hyps, golds = [], []
+    for rec in get_dataset("synthetic", "test"):
+        spec, gold = rec["process_fn"](rec)
+        model = TorchSCConformer(**DIMS).eval()
+        model.load_state_dict(state)
+        spec_t = torch.from_numpy(np.asarray(spec, np.float32))
+        if spec_t.ndim == 2:
+            spec_t = spec_t[None]
+        stitched = loop_fn(model, spec_t)
+        ids = _greedy_ids(torch.from_numpy(stitched), DIMS["vocab_size"])
+        hyps.append(normalize(tokenizer.decode([int(i) for i in ids])))
+        golds.append(gold)
+    return hyps, golds
+
+
 def test_driver_golden_matches_torch_mini_driver(tmp_path):
     from dynamic_asr_eval_tpu.data import get_dataset
     from dynamic_asr_eval_tpu.evals.run import cli
@@ -56,10 +88,7 @@ def test_driver_golden_matches_torch_mini_driver(tmp_path):
         word_error_rate_detail,
     )
 
-    torch.manual_seed(0)
-    tm = TorchSCConformer(**DIMS).eval()
-    ckpt = str(tmp_path / "ref.pt")
-    torch.save({"model": tm.state_dict(), "config": _ref_config()}, ckpt)
+    tm, ckpt = _make_ckpt(tmp_path)
 
     # --- the actual product CLI on the torch pickle ----------------------
     wer = cli([
@@ -96,4 +125,37 @@ def test_driver_golden_matches_torch_mini_driver(tmp_path):
         "CLI transcripts diverge from the torch mini-driver:\n"
         f"  cli:   {detail['model_output']}\n  torch: {hyps}")
     assert detail["gold"] == golds
+    np.testing.assert_allclose(wer, t_wer, rtol=0, atol=1e-12)
+
+
+def test_awmc_driver_golden_matches_torch_mini_driver(tmp_path):
+    """Same seam for the AWMC engine: `evals/run.py --awmc --checkpoint`
+    vs the torch AWMC loop oracle (anchor/leader EMA label banks,
+    tests/test_reference_oracle.py::torch_awmc)."""
+    from dynamic_asr_eval_tpu.evals.run import cli
+    from dynamic_asr_eval_tpu.text import word_error_rate_detail
+    from test_reference_oracle import torch_awmc
+
+    ema = 0.9
+    lr = 5e-4  # gentler than the NSTI golden: AWMC's dual-bank EMA
+    # trajectory amplifies fp noise into greedy argmax flips at 1e-3
+    tm, ckpt = _make_ckpt(tmp_path, seed=2)
+    wer = cli([
+        "-d", "synthetic", "--quiet", "--awmc", "--checkpoint", ckpt,
+        "-s", str(tmp_path / "golden" / "r.pkl"),
+        "-kwargs", "epochs=1", "online=true", f"seq_len={SEQ_LEN}",
+        f"overlap={OVERLAP}", "lm_tta_beams=0", f"optim_lr={lr}",
+        f"ema_decay={ema}",
+    ])
+    pkls = [f for f in os.listdir(tmp_path / "golden") if f.endswith(".pkl")]
+    with open(tmp_path / "golden" / pkls[0], "rb") as f:
+        detail = pickle.load(f)
+
+    hyps, golds = _torch_mini_driver(
+        tm, lambda m, s: torch_awmc(m, s, SEQ_LEN, OVERLAP, lr, 1, ema)[0])
+    t_wer = word_error_rate_detail(hypotheses=hyps, references=golds)[0]
+
+    assert detail["model_output"] == hyps, (
+        "--awmc CLI transcripts diverge from the torch AWMC mini-driver:\n"
+        f"  cli:   {detail['model_output']}\n  torch: {hyps}")
     np.testing.assert_allclose(wer, t_wer, rtol=0, atol=1e-12)

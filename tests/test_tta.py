@@ -113,6 +113,7 @@ class TestAdaptation:
         out = engine(variables, spec)
         assert np.isfinite(out.numpy_logits()).all()
 
+    @pytest.mark.slow
     def test_shuffle_mode(self, model_and_vars):
         model, variables = model_and_vars
         spec = make_spec(300)
@@ -120,6 +121,7 @@ class TestAdaptation:
         out = engine(variables, spec)
         assert np.isfinite(out.numpy_logits()).all()
 
+    @pytest.mark.slow
     def test_epochs2(self, model_and_vars):
         model, variables = model_and_vars
         spec = make_spec(150)
@@ -146,6 +148,7 @@ class TestAdaptation:
 
 
 class TestAWMC:
+    @pytest.mark.slow
     def test_awmc_runs(self, model_and_vars):
         model, variables = model_and_vars
         spec = make_spec(200)
@@ -166,6 +169,7 @@ class TestAWMC:
         assert out.numpy_logits().shape == (10, CFG.n_classes)
 
 
+@pytest.mark.slow
 class TestConsistency:
     def test_consistency_runs_and_adapts(self, model_and_vars):
         from dynamic_asr_eval_tpu.tta import ConsistencyEngine
@@ -230,6 +234,7 @@ class TestConsistency:
 
 
 class TestEntropyAugmentation:
+    @pytest.mark.slow
     def test_entropy_augmentation_runs(self, model_and_vars):
         model, variables = model_and_vars
         spec = make_spec(150)
@@ -303,6 +308,7 @@ class TestLMTTABeams:
         assert int(g_len) == 1 and int(g_labels[0]) == 2  # greedy: AM winner
         assert int(beam_len) == 1 and int(beam_labels[0]) == 3  # LM flipped it
 
+    @pytest.mark.slow
     def test_engine_runs_with_lm_pseudo_labels(self, model_and_vars):
         model, variables = model_and_vars
         adapter = _BiasedLMAdapter(CFG.n_classes, favored=3)
@@ -318,7 +324,36 @@ class TestLMTTABeams:
             variables["params"], out.params)))
         assert delta > 0
 
+    @pytest.mark.slow
+    def test_batched_records_with_lm_pseudo_labels_matches_serial(
+            self, model_and_vars):
+        """--dp_records composed with lm_tta_beams: the LM-fused beam runs
+        INSIDE the vmapped adapt scan; results must match the serial engine
+        per record (the beam's cond/switch branches and the lazy LM carry
+        must survive the record-axis vmap)."""
+        model, variables = model_and_vars
+        adapter = _BiasedLMAdapter(CFG.n_classes, favored=3)
 
+        def engine():
+            return DynamicEvalEngine(
+                model, CFG.blank_id, CFG.subsampling_factor,
+                tta_cfg(lm_tta_beams=2, online=True),
+                lm_adapter=adapter,
+            )
+
+        specs = [make_spec(150, seed=1), make_spec(150, seed=2)]
+        keys = [jax.random.fold_in(jax.random.PRNGKey(4), i) for i in (0, 1)]
+        serial = engine()
+        ref = [serial(variables, s, rng=k) for s, k in zip(specs, keys)]
+        outs = engine().batched(variables, specs, rngs=keys)
+        for o, e in zip(outs, ref):
+            n = int(np.sum(np.asarray(e.counts) > 0))
+            np.testing.assert_allclose(
+                np.asarray(o.logits)[:n], np.asarray(e.logits)[:n],
+                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
 class TestRepeats:
     def test_distinct_rng_per_repeat_changes_output(self, model_and_vars):
         """evals/run.py threads PRNGKey(seed*1000 + repeat): with stochastic
