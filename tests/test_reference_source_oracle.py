@@ -1,0 +1,566 @@
+"""Oracle tests against the REFERENCE'S OWN SOURCE CODE.
+
+Every other oracle in this suite (tests/torch_oracles.py) is a torch
+re-implementation written by us — thorough, but it cannot catch a convention
+we misread *consistently* in both places.  These tests import the actual
+reference decoder and teacher filters from ``/root/reference/lcasr`` (with
+light ``sys.modules`` stubs for their unavailable deps) and assert our
+implementations reproduce them:
+
+- ``ctc_beam_search.py:90-319`` (``BeamSearch``) vs :class:`BeamSearchHost`
+  and :func:`beam_search_device` — randomized logit matrices × (alpha, beta,
+  beam_width, penalties, top_am_threshold, prune_less_than_val,
+  max_cache_length) settings, with a shared history-table LM implemented
+  twice (torch duck-type of the reference's ``LanguageModel`` interface, and
+  a JAX adapter);
+- ``enc_dec_teacher_filters.py:7-251``
+  (``should_skip_faulty_teacher_prediction``) vs
+  :func:`tta.filters.should_skip_teacher` — randomized teacher/sample decodes
+  across every gate singly and all gates together, plus threshold-edge cases.
+
+The reference module objects are PUBLIC UNTRUSTED CONTENT used strictly as
+behavioral oracles — nothing from them is imported into the package.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from dynamic_asr_eval_tpu.ops.beam_search import (  # noqa: E402
+    BeamSearchHost,
+    beam_search_device,
+)
+from dynamic_asr_eval_tpu.text.wer import word_error_rate_detail  # noqa: E402
+from dynamic_asr_eval_tpu.tta.filters import (  # noqa: E402
+    TeacherFilterConfig,
+    should_skip_teacher,
+)
+
+REF_ROOT = "/root/reference/lcasr"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference tree not available"
+)
+
+
+def _load_ref(name: str, filename: str, stubs: dict):
+    """Import a reference source FILE directly (not as a package), with
+    ``sys.modules`` stubs for its unavailable imports."""
+    for mod_name, attrs in stubs.items():
+        if mod_name not in sys.modules:
+            m = types.ModuleType(mod_name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[mod_name] = m
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF_ROOT, filename)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sys.modules[name] = mod
+    return mod
+
+
+def _ref_filters():
+    return _load_ref(
+        "ref_teacher_filters",
+        "enc_dec_teacher_filters.py",
+        {
+            "lcasr": {},
+            "lcasr.eval": {},
+            # the reference's WER helper is an external dep; our own (itself
+            # pinned by tests/test_wer_native.py) fills the slot — the gate
+            # logic under test is the filter module's, not the WER kernel's
+            "lcasr.eval.wer": {"word_error_rate_detail": word_error_rate_detail},
+        },
+    )
+
+
+def _ref_beam_search():
+    return _load_ref(
+        "ref_ctc_beam_search",
+        "ctc_beam_search.py",
+        {
+            "lming": {},
+            "lming.utils": {},
+            "lming.utils.helpers": {"exists": lambda x: x is not None},
+            "lming.models": {},
+            "lming.models.transformer": {
+                "transformer_lm": type("transformer_lm", (), {})
+            },
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Teacher filters
+# ---------------------------------------------------------------------------
+
+_GATES = [
+    "teacher_filter_max_length",
+    "teacher_filter_max_consecutive_token_repeat",
+    "teacher_filter_repeated_token_ngrams",
+    "teacher_filter_decode_agreement",
+    "teacher_filter_low_confidence",
+    "teacher_filter_repeated_words",
+    "teacher_filter_ctc_agreement",
+]
+
+_WORDS = ["the", "a", "cat", "sat", "mat", "dog", "on", "ran", "big", "red"]
+
+
+def _args_ns(enabled, **thresholds):
+    ns = argparse.Namespace()
+    for g in _GATES:
+        setattr(ns, g, g in enabled)
+    for k, v in thresholds.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def _random_text(rng, n_lo=0, n_hi=12):
+    n = rng.randint(n_lo, n_hi + 1)
+    words = [_WORDS[rng.randint(len(_WORDS))] for _ in range(n)]
+    if n > 3 and rng.rand() < 0.5:  # plant a word run
+        w = words[rng.randint(n)]
+        pos = rng.randint(max(1, n - 4))
+        run = rng.randint(2, 6)
+        words[pos : pos + run] = [w] * run
+    return " ".join(words)
+
+
+def _random_tokens(rng):
+    L = rng.randint(0, 30)
+    toks = rng.randint(1, 9, size=L).tolist()
+    if L > 4 and rng.rand() < 0.5:  # plant a token run
+        pos = rng.randint(L - 3)
+        run = rng.randint(2, 7)
+        toks[pos : pos + run] = [toks[pos]] * min(run, L - pos)
+    if L > 9 and rng.rand() < 0.4:  # plant an n-gram loop
+        n = rng.randint(2, 4)
+        gram = toks[:n]
+        reps = rng.randint(2, 4)
+        toks[: n * reps] = (gram * reps)[: min(n * reps, L)]
+    return toks
+
+
+def _random_case(rng):
+    text = _random_text(rng)
+    return dict(
+        tokens=_random_tokens(rng),
+        text=text,
+        spec_frames=int(rng.randint(8, 300)),
+        agreement_text=(
+            None if rng.rand() < 0.2
+            else (text if rng.rand() < 0.4 else _random_text(rng))
+        ),
+        mean_max_prob=None if rng.rand() < 0.2 else float(rng.rand()),
+        mean_entropy=None if rng.rand() < 0.2 else float(rng.rand() * 5),
+        ctc_text=(
+            None if rng.rand() < 0.2
+            else (text if rng.rand() < 0.4 else _random_text(rng))
+        ),
+    )
+
+
+def _both_verdicts(ref_mod, args, case):
+    ref_skip, _ = ref_mod.should_skip_faulty_teacher_prediction(
+        args,
+        teacher_pred_tokens=case["tokens"],
+        teacher_pred_text=case["text"],
+        spec_frames=case["spec_frames"],
+        agreement_text=case["agreement_text"],
+        teacher_mean_max_prob=case["mean_max_prob"],
+        teacher_mean_entropy=case["mean_entropy"],
+        ctc_text=case["ctc_text"],
+    )
+    cfg = TeacherFilterConfig.from_args(args)
+    ours_skip, _ = should_skip_teacher(
+        cfg,
+        teacher_tokens=case["tokens"],
+        teacher_text=case["text"],
+        spec_frames=case["spec_frames"],
+        agreement_text=case["agreement_text"],
+        mean_max_prob=case["mean_max_prob"],
+        mean_entropy=case["mean_entropy"],
+        ctc_text=case["ctc_text"],
+    )
+    return ref_skip, ours_skip
+
+
+class TestTeacherFiltersOracle:
+    def test_each_gate_singly(self):
+        """Every gate's verdict matches the reference gate-for-gate over
+        randomized teacher decodes (enc_dec_teacher_filters.py:167-251)."""
+        ref = _ref_filters()
+        rng = np.random.RandomState(0)
+        checked = {g: 0 for g in _GATES}
+        for i in range(120):
+            case = _random_case(rng)
+            # randomize thresholds so both sides must agree on their meaning
+            thr = dict(
+                teacher_min_frames_per_token=int(rng.choice([0, 4, 8, 16])),
+                teacher_max_consecutive_token_repeat=int(rng.choice([1, 2, 3])),
+                teacher_repeated_token_ngram_sizes=[2, 3],
+                teacher_repeated_token_ngram_min_repeats=int(rng.choice([2, 3])),
+                teacher_decode_agreement_min_similarity=float(rng.choice([0.3, 0.65, 0.9])),
+                teacher_min_mean_max_prob=float(rng.choice([0.1, 0.35, 0.7])),
+                teacher_max_mean_entropy=float(rng.choice([1.0, 2.5, 4.0])),
+                teacher_max_consecutive_word_repeat=int(rng.choice([1, 2, 3])),
+                teacher_ctc_agreement_min_similarity=float(rng.choice([0.2, 0.5, 0.8])),
+            )
+            for gate in _GATES:
+                args = _args_ns({gate}, **thr)
+                r, o = _both_verdicts(ref, args, case)
+                assert r == o, (gate, case, thr)
+                checked[gate] += r  # count positives so gates aren't vacuous
+        # every gate must have fired at least once across the sweep
+        for gate, fired in checked.items():
+            assert fired > 0, f"gate {gate} never fired — sweep is vacuous"
+
+    def test_all_gates_together(self):
+        """All-gates-on verdicts match (same first-match gate ordering)."""
+        ref = _ref_filters()
+        rng = np.random.RandomState(1)
+        skips = 0
+        for i in range(150):
+            case = _random_case(rng)
+            args = _args_ns(set(_GATES))
+            # defaults for every threshold (argparse defaults, :7-104)
+            for k, v in dict(
+                teacher_min_frames_per_token=8,
+                teacher_max_consecutive_token_repeat=3,
+                teacher_repeated_token_ngram_sizes=[2, 3],
+                teacher_repeated_token_ngram_min_repeats=2,
+                teacher_decode_agreement_min_similarity=0.65,
+                teacher_min_mean_max_prob=0.35,
+                teacher_max_mean_entropy=2.5,
+                teacher_max_consecutive_word_repeat=3,
+                teacher_ctc_agreement_min_similarity=0.5,
+            ).items():
+                setattr(args, k, v)
+            r, o = _both_verdicts(ref, args, case)
+            assert r == o, case
+            skips += r
+        assert 0 < skips < 150  # both outcomes exercised
+
+    def test_threshold_edges(self):
+        """Strict-vs-inclusive comparisons at exact threshold values."""
+        ref = _ref_filters()
+        base = dict(text="", spec_frames=80, agreement_text=None,
+                    mean_max_prob=None, mean_entropy=None, ctc_text=None)
+
+        # len(tokens) == frames/min_frames_per_token → NOT skipped (strict >)
+        args = _args_ns({"teacher_filter_max_length"},
+                        teacher_min_frames_per_token=8)
+        case = dict(base, tokens=[1] * 10)  # 80/8 == 10
+        assert _both_verdicts(ref, args, case) == (False, False)
+        case = dict(base, tokens=[1] * 11)
+        assert _both_verdicts(ref, args, case) == (True, True)
+
+        # run == limit → NOT skipped (strict >)
+        args = _args_ns({"teacher_filter_max_consecutive_token_repeat"},
+                        teacher_max_consecutive_token_repeat=3)
+        case = dict(base, tokens=[5, 5, 5, 2])
+        assert _both_verdicts(ref, args, case) == (False, False)
+        case = dict(base, tokens=[5, 5, 5, 5, 2])
+        assert _both_verdicts(ref, args, case) == (True, True)
+
+        # ngram repeats == min_repeats → skipped (inclusive >=)
+        args = _args_ns({"teacher_filter_repeated_token_ngrams"},
+                        teacher_repeated_token_ngram_sizes=[2],
+                        teacher_repeated_token_ngram_min_repeats=2)
+        case = dict(base, tokens=[1, 2, 1, 2, 3])
+        assert _both_verdicts(ref, args, case) == (True, True)
+        case = dict(base, tokens=[1, 2, 3, 1, 2])
+        assert _both_verdicts(ref, args, case) == (False, False)
+
+        # identical texts → similarity 1.0 → never skipped
+        args = _args_ns({"teacher_filter_decode_agreement"},
+                        teacher_decode_agreement_min_similarity=0.99)
+        case = dict(base, tokens=[], text="the cat sat",
+                    agreement_text="the cat sat")
+        assert _both_verdicts(ref, args, case) == (False, False)
+
+        # mean_max_prob == threshold → NOT skipped (strict <)
+        args = _args_ns({"teacher_filter_low_confidence"},
+                        teacher_min_mean_max_prob=0.35,
+                        teacher_max_mean_entropy=2.5)
+        case = dict(base, tokens=[], mean_max_prob=0.35, mean_entropy=2.5)
+        assert _both_verdicts(ref, args, case) == (False, False)
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+_K_CTX = 3
+_V_TOK = 11  # tokenizer vocab ids 0..10; blank = 11; AM dim = 12
+_TABLE = np.random.RandomState(7).randn(16 ** _K_CTX, _V_TOK + 1).astype(np.float32)
+
+
+def _hash_hist(hist):
+    """Hash of the last ``_K_CTX`` tokens, left-padded with -1 (code t+1<16)."""
+    h = list(hist)[-_K_CTX:]
+    h = [-1] * (_K_CTX - len(h)) + h
+    idx = 0
+    for t in h:
+        idx = idx * 16 + (t + 1)
+    return idx
+
+
+class _TorchTableLM:
+    """Duck-type of the reference's ``LanguageModel`` over a shared
+    history-hash table.  The cache follows the reference layout
+    ``[L=1, KV=2, B, H=1, N, D=1]`` (ctc_beam_search.py:285-303 rearranges it
+    with exactly those axes) and stores the raw token history, so the
+    reference's cache grab/trim/pad plumbing is exercised for real."""
+
+    bos_id = 0
+
+    def get_initial_state(self):
+        hist = [self.bos_id]
+        lps = torch.tensor(_TABLE[_hash_hist(hist)])
+        cache = torch.zeros((1, 2, 1, 1, 1, 1))
+        cache[..., 0, 0] = float(self.bos_id)
+        return lps, {"cache": cache, "cache_lengths": torch.LongTensor([1])}
+
+    def __call__(self, input_ids, input_lengths, states=None):
+        B = input_ids.shape[0]
+        hists = []
+        if states is not None:
+            cache, lens = states["cache"], states["cache_lengths"]
+            for b in range(B):
+                n = int(lens[b])
+                hists.append(
+                    [int(round(float(x))) for x in cache[0, 0, b, 0, :n, 0]]
+                )
+        else:
+            hists = [[] for _ in range(B)]
+        for b in range(B):
+            hists[b] = hists[b] + [int(input_ids[b, -1])]
+        maxn = max(len(h) for h in hists)
+        new_cache = torch.zeros((1, 2, B, 1, maxn, 1))
+        for b, h in enumerate(hists):
+            for j, t in enumerate(h):
+                new_cache[:, :, b, :, j, 0] = float(t)
+        logps = torch.stack(
+            [torch.tensor(_TABLE[_hash_hist(h)]) for h in hists]
+        )[:, None, :]
+        return logps, {
+            "cache": new_cache,
+            "cache_lengths": torch.LongTensor([len(h) for h in hists]),
+        }
+
+
+class _FakeTok:
+    def vocab_size(self):
+        return _V_TOK
+
+    def decode(self, ids):
+        return " ".join(str(int(i)) for i in ids)
+
+
+_TABLE_J = jnp.asarray(_TABLE)
+_POW = jnp.asarray([16 ** (_K_CTX - 1 - j) for j in range(_K_CTX)], jnp.int32)
+
+
+class _TableLMAdapter:
+    """The same history-table LM as a beam-search LM adapter (state = last
+    ``_K_CTX`` token ids; identical hash)."""
+
+    bos_id = 0
+
+    def _lps(self, hist):
+        idx = jnp.sum((hist + 1) * _POW[None, :], axis=1)
+        return _TABLE_J[idx]
+
+    def init_state(self, batch):
+        hist = jnp.full((batch, _K_CTX), -1, jnp.int32).at[:, -1].set(self.bos_id)
+        return hist, self._lps(hist)
+
+    def advance(self, state, tokens, mask):
+        new = jnp.concatenate(
+            [state[:, 1:], tokens[:, None].astype(jnp.int32)], axis=1
+        )
+        hist = jnp.where(mask[:, None], new, state)
+        return hist, self._lps(hist)
+
+    def gather(self, state, idx):
+        return state[idx]
+
+
+def _random_logps(rng, T):
+    logits = rng.randn(T, _V_TOK + 1).astype(np.float32) * 2.0
+    # token 0 must never dominate a frame: the reference proposes only ids
+    # >= 1 (ctc_beam_search.py:242) and dies with zero beams if nothing else
+    # clears the threshold
+    logits[:, 0] = -20.0
+    return torch.tensor(logits).log_softmax(dim=-1)
+
+
+def _run_reference(lp, **kw):
+    bs_mod = _ref_beam_search()
+    search = bs_mod.BeamSearch(
+        tokenizer=_FakeTok(),
+        beam_width=kw["beam_width"],
+        log_probs=lp,
+        language_model=_TorchTableLM(),
+        alpha=kw["alpha"],
+        beta=kw["beta"],
+        blank_id=_V_TOK,
+        blank_penalty=kw.get("blank_penalty", 0.0),
+        repitition_penalty=kw.get("repetition_penalty", 0.0),
+        top_am_threshold=kw.get("top_am_threshold", -6.0),
+        prune_less_than_val=kw.get("prune_less_than_val"),
+        max_cache_length=kw.get("max_cache_length", -1),
+    )
+    search.run_search(use_tqdm=False)
+    return [
+        (tuple(int(t) for t in b.lm_sequence[1:]), float(b.score))
+        for b in search.beams
+    ]
+
+
+def _assert_beams_match(ref_beams, ours, atol=2e-3):
+    """ours: list of (prefix, score) sorted by score desc."""
+    assert len(ref_beams) == len(ours), (ref_beams, ours)
+    ref_scores = np.array([s for _, s in ref_beams])
+    our_scores = np.array([s for _, s in ours])
+    np.testing.assert_allclose(our_scores, ref_scores, atol=atol, rtol=1e-4)
+    # prefix-by-prefix comparison wherever score gaps make the order unique
+    for i, ((rp, rs), (op, os_)) in enumerate(zip(ref_beams, ours)):
+        gap_ok = all(
+            abs(rs - other_s) > 10 * atol
+            for j, (_, other_s) in enumerate(ref_beams) if j != i
+        )
+        if gap_ok:
+            assert rp == op, (i, ref_beams, ours)
+    # and the multiset of prefixes must agree regardless of tie order
+    assert sorted(p for p, _ in ref_beams) == sorted(p for p, _ in ours)
+
+
+class TestBeamSearchHostOracle:
+    def test_randomized_settings(self):
+        """BeamSearchHost reproduces the reference search beam-for-beam over
+        randomized logits × hyperparameter draws (ctc_beam_search.py:212-319:
+        scoring, merge-by-collapsed-sequence, top-k + score-gap pruning,
+        blank/repeat classes, LM advance gating)."""
+        rng = np.random.RandomState(42)
+        for trial in range(60):
+            T = int(rng.randint(3, 11))
+            lp = _random_logps(rng, T)
+            kw = dict(
+                beam_width=int(rng.choice([2, 4, 8, 16])),
+                alpha=float(rng.uniform(0.0, 1.0)),
+                beta=float(rng.uniform(-1.0, 2.0)),
+                blank_penalty=float(rng.choice([0.0, -0.5, 0.7])),
+                repetition_penalty=float(rng.choice([0.0, -0.3])),
+                top_am_threshold=float(rng.choice([-3.0, -6.0, -10.0])),
+                prune_less_than_val=[None, 1.5, 3.17][int(rng.randint(3))],
+            )
+            ref_beams = _run_reference(lp, **kw)
+            host = BeamSearchHost(
+                np.asarray(lp), _TableLMAdapter(), blank_id=_V_TOK, **kw
+            )
+            ours = host.run_search()
+            _assert_beams_match(ref_beams, ours)
+
+    def test_cache_trim_config(self):
+        """``max_cache_length`` trims oldest history (trim_cache, :172-179);
+        with the LM's context window inside the kept span, results are
+        unchanged — both vs the reference run and vs untrimmed."""
+        rng = np.random.RandomState(3)
+        lp = _random_logps(rng, 10)
+        kw = dict(beam_width=8, alpha=0.5, beta=0.8, prune_less_than_val=3.17)
+        ref_trim = _run_reference(lp, max_cache_length=_K_CTX + 1, **kw)
+        ref_full = _run_reference(lp, **kw)
+        _assert_beams_match(ref_full, ref_trim)  # trim must be invisible
+        host = BeamSearchHost(
+            np.asarray(lp), _TableLMAdapter(), blank_id=_V_TOK, **kw
+        )
+        _assert_beams_match(ref_trim, host.run_search())
+
+    def test_return_text(self):
+        """Top-beam text via the reference's ``return_text`` equals ours."""
+        rng = np.random.RandomState(5)
+        lp = _random_logps(rng, 8)
+        bs_mod = _ref_beam_search()
+        search = bs_mod.BeamSearch(
+            tokenizer=_FakeTok(), beam_width=4, log_probs=lp,
+            language_model=_TorchTableLM(), alpha=0.5, beta=0.8,
+            blank_id=_V_TOK, prune_less_than_val=3.17,
+        )
+        search.run_search(use_tqdm=False)
+        host = BeamSearchHost(
+            np.asarray(lp), _TableLMAdapter(), blank_id=_V_TOK,
+            beam_width=4, alpha=0.5, beta=0.8, prune_less_than_val=3.17,
+        )
+        host.run_search()
+        assert host.return_text(0, _FakeTok()) == search.return_text(0)
+
+
+@pytest.mark.slow
+class TestBeamSearchDeviceOracle:
+    def test_device_matches_reference(self):
+        """The tensorized device search reproduces the reference top beams.
+        A few fixed compile configs (each distinct hyperparameter set is a
+        new XLA program), several random logit draws each — ``valid_frames``
+        reuses one compilation across lengths."""
+        import jax
+
+        T_PAD = 12
+        configs = [
+            dict(beam_width=4, alpha=0.5, beta=0.8,
+                 prune_less_than_val=3.17, top_am_threshold=-6.0),
+            dict(beam_width=8, alpha=0.3, beta=0.0,
+                 prune_less_than_val=None, top_am_threshold=-6.0),
+            dict(beam_width=8, alpha=0.8, beta=1.0, blank_penalty=-0.5,
+                 repetition_penalty=-0.3, prune_less_than_val=3.17,
+                 top_am_threshold=-4.0),
+        ]
+        rng = np.random.RandomState(11)
+        jitted = {}
+        for ci, kw in enumerate(configs):
+            for rep in range(3):
+                T = int(rng.randint(4, T_PAD + 1))
+                lp = _random_logps(rng, T)
+                ref_beams = _run_reference(lp, **kw)
+
+                lp_pad = np.zeros((T_PAD, _V_TOK + 1), np.float32)
+                lp_pad[:T] = np.asarray(lp)
+                if ci not in jitted:
+                    jitted[ci] = jax.jit(
+                        lambda x, n, kw=kw: beam_search_device(
+                            x, _TableLMAdapter(), blank_id=_V_TOK,
+                            valid_frames=n, max_tokens=T_PAD, **kw
+                        )
+                    )
+                toks, lens, scores = jitted[ci](
+                    jnp.asarray(lp_pad), jnp.asarray(T, jnp.int32)
+                )
+                toks, lens, scores = (
+                    np.asarray(toks), np.asarray(lens), np.asarray(scores))
+                n_live = int((scores > -1e29).sum())
+                ours = [
+                    (tuple(int(t) for t in toks[b][: lens[b]]), float(scores[b]))
+                    for b in range(min(n_live, len(ref_beams)))
+                ]
+                # the device search carries a FIXED beam width: when the
+                # reference's prune keeps fewer beams than B, compare the
+                # surviving prefix set
+                assert n_live == len(ref_beams), (kw, ref_beams, scores)
+                _assert_beams_match(ref_beams, ours)
