@@ -200,6 +200,10 @@ class TTAConfig:
     num_negatives: int = 1
     random_noise: float = 0.0
     lm_tta_beams: int = 3
+    # opt-in reference-exact pseudo-labels: round-trip the decoded labels
+    # through tokenizer text (lcasr/lib.py:558-571) via a host callback per
+    # window — see tta/retokenize.py for the quantified default-vs-exact gap
+    pseudo_label_retokenize: bool = False
     optim_args: Dict[str, Any] = field(default_factory=lambda: {"lr": 9e-5})
     spec_augment: SpecAugmentConfig = field(default_factory=SpecAugmentConfig)
     frame_shuffle: FrameShuffleConfig = field(default_factory=FrameShuffleConfig)
@@ -213,6 +217,10 @@ class TTAConfig:
     # AWMC
     ema_decay: float = 0.999
     print_runtimes: bool = False
+    # opt-in per-chunk "Pseudo targets / Noisy predictions" debug prints
+    # (lcasr/lib.py:566-568 prints these unconditionally; here they are a
+    # host callback out of the jitted scan, so they cost a sync when on)
+    print_pseudo_labels: bool = False
 
     @classmethod
     def from_args(cls, args) -> "TTAConfig":
@@ -226,6 +234,7 @@ class TTAConfig:
             online=online,
             random_noise=float(g("random_noise", 0.0)),
             lm_tta_beams=int(g("lm_tta_beams", 3)),
+            pseudo_label_retokenize=bool(g("pseudo_label_retokenize", False)),
             optim_args=get_lr_args_from_args(args),
             spec_augment=SpecAugmentConfig.from_args(args),
             frame_shuffle=FrameShuffleConfig.from_args(args),
@@ -237,4 +246,5 @@ class TTAConfig:
             train_subsampling_only=bool(g("train_subsampling_only", False)),
             ema_decay=float(g("ema_decay", 0.999)),
             print_runtimes=bool(g("print_runtimes", False)),
+            print_pseudo_labels=bool(g("print_pseudo_labels", False)),
         )

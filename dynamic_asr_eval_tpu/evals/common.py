@@ -39,7 +39,10 @@ def setup_compile_cache():
     _COMPILE_CACHE_DONE = True
     if jax.default_backend() == "cpu":
         return
-    cache_dir = os.environ.get("JAX_COMPILE_CACHE", "/tmp/dae_jax_cache")
+    # per-user default: a fixed world-shared /tmp path can be pre-owned by
+    # another user on a shared box (permission failures / seeded entries)
+    cache_dir = os.environ.get(
+        "JAX_COMPILE_CACHE", os.path.expanduser("~/.cache/dae_jax_cache"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -91,10 +94,24 @@ def load_model_and_tokenizer(args) -> Tuple[Any, Dict, Any, ConformerConfig]:
 
 
 def build_engine(args, model, cfg: ConformerConfig, engine_kind: str = "dynamic_eval",
-                 lm_adapter=None):
+                 lm_adapter=None, tokenizer=None):
     tta = TTAConfig.from_args(args)
     cls = {"dynamic_eval": DynamicEvalEngine, "awmc": AWMCEngine}[engine_kind]
     kwargs = {}
+    if tokenizer is not None and engine_kind == "dynamic_eval":
+        # used only when opted in: pseudo_label_retokenize (the reference-
+        # exact text round-trip, lcasr/lib.py:558-571) and the
+        # print_pseudo_labels debug affordance decode through it
+        kwargs["tokenizer"] = tokenizer
+    import jax.numpy as jnp
+
+    if cfg.compute_dtype == jnp.bfloat16 and not bool(
+            vars(args).get("f32_transfer", False)):
+        # bf16 spec upload halves the host→device transfer for bf16-compute
+        # models (the model casts to bf16 at its input regardless; measured
+        # |Δ| 0 beyond bf16 noise — bench.py NSTI section); opt out with
+        # -kwargs f32_transfer=true
+        kwargs["transfer_dtype"] = jnp.bfloat16
     if getattr(args, "dp", False) or getattr(args, "dp_records", False):
         # data-parallel windowed inference over the device mesh
         # (SURVEY §2.3 row 1); tp>1 additionally shards the params — callers

@@ -65,7 +65,8 @@ def main(args) -> float:
                 args.language_model, tokenizer, adapter=lm_adapter,
                 pad_streams=decode_batch, **lm_kwargs)
 
-    engine = build_engine(args, model, cfg, engine_kind, lm_adapter=lm_adapter)
+    engine = build_engine(args, model, cfg, engine_kind, lm_adapter=lm_adapter,
+                          tokenizer=tokenizer)
     variables = maybe_shard_variables(engine, variables)
 
     wers = []

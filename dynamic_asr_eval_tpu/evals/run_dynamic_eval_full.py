@@ -66,6 +66,18 @@ def main(args) -> float:
             engine_kwargs = {"lm_adapter": lm_adapter,
                              "lm_beam_kwargs": lm_kwargs}
 
+    if engine_cls is DynamicEvalEngine:
+        # tokenizer rides along for the opt-in reference-exact pseudo-label
+        # round-trip (lcasr/lib.py:558-571) and the print_pseudo_labels
+        # debug affordance
+        engine_kwargs["tokenizer"] = tokenizer
+    import jax.numpy as jnp
+
+    if cfg.compute_dtype == jnp.bfloat16 and not bool(
+            vars(args).get("f32_transfer", False)):
+        # bf16 spec upload for bf16-compute models (see common.build_engine)
+        engine_kwargs["transfer_dtype"] = jnp.bfloat16
+
     if getattr(args, "dp_records", False):
         if engine_cls is not DynamicEvalEngine:
             raise ValueError("--dp_records supports only the NSTI engine "
@@ -76,6 +88,12 @@ def main(args) -> float:
 
     engine = engine_cls(model, cfg.blank_id, cfg.subsampling_factor, tta,
                         **engine_kwargs)
+    # with --tp > 1 the params must actually be sharded over the mesh tp axis
+    # (otherwise the dp axis silently shrinks N-fold with the params still
+    # fully replicated — see common.maybe_shard_variables)
+    from dynamic_asr_eval_tpu.evals.common import maybe_shard_variables
+
+    variables = maybe_shard_variables(engine, variables)
     records = get_dataset(args.dataset, args.split)
 
     wers = []

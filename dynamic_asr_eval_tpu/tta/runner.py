@@ -125,6 +125,7 @@ class DynamicEvalEngine:
         lm_adapter=None,
         lm_beam_kwargs: Optional[Dict[str, Any]] = None,
         mesh=None,
+        tokenizer=None,
     ):
         self.model = model
         self.blank_id = blank_id
@@ -150,10 +151,21 @@ class DynamicEvalEngine:
         # ``config.lm_tta_beams > 0``, pseudo-labels come from the on-device
         # LM beam search instead of greedy — entirely inside the adapt scan
         # (the reference ships logits to CPU and runs pyctcdecode per chunk).
-        # Divergence note: the reference round-trips the beam text through
-        # the tokenizer before CTC; we use the beam's token ids directly.
+        # Divergence note: the reference round-trips pseudo-labels through
+        # tokenizer TEXT before CTC — on the greedy path too, not just the
+        # beam (lcasr/lib.py:560,569-571) — while we use the decoded token
+        # ids directly (no host sync inside the scan).  The transcript is
+        # identical either way; only the CTC target segmentation can differ,
+        # and only when the model emits a non-tokenizer-canonical piece path
+        # (quantified in tta/retokenize.py + tests/test_retokenize.py).
+        # ``config.pseudo_label_retokenize`` + ``tokenizer=`` opts into the
+        # reference-exact host round-trip per window.
         self.lm_adapter = lm_adapter
         self.lm_beam_kwargs = dict(lm_beam_kwargs or {})
+        self.tokenizer = tokenizer
+        if getattr(config, "pseudo_label_retokenize", False) and tokenizer is None:
+            raise ValueError(
+                "pseudo_label_retokenize=True needs tokenizer= on the engine")
         # data-parallel inference over windows (SURVEY §2.3 row 1): with a
         # ('dp','tp') mesh, the no-grad chunked forward shards its window
         # batch over dp (GSPMD inserts the stitch-accumulator reduction);
@@ -188,6 +200,18 @@ class DynamicEvalEngine:
     def _forward(self, variables, batch, lengths):
         return self.model.apply(variables, batch, length=lengths)
 
+    def _print_pseudo_labels(self, labels, lab_len, noisy, noisy_len):
+        """Host side of the opt-in per-chunk debug print
+        (``config.print_pseudo_labels``; lcasr/lib.py:566-568)."""
+        ids = [int(t) for t in np.asarray(labels)[: int(lab_len)]]
+        nids = [int(t) for t in np.asarray(noisy)[: int(noisy_len)]]
+        if self.tokenizer is not None:
+            ids = self.tokenizer.decode(ids)
+            nids = self.tokenizer.decode(nids)
+        print(f"Pseudo targets: {ids}")
+        print(f"Noisy predictions: {nids}")
+        print("\n--\n")
+
     def _pseudo_labels(self, clean_lp, ds_len, max_tokens: int):
         """Pseudo-label decode of the clean stream — greedy, or the LM-fused
         device beam when ``lm_tta_beams`` is active (lcasr/lib.py:558-563).
@@ -195,19 +219,37 @@ class DynamicEvalEngine:
         so they compose with ``lax.cond`` skip branches."""
         beams = int(getattr(self.config, "lm_tta_beams", 0) or 0)
         if self.lm_adapter is None or beams <= 0:
-            return greedy_labels(clean_lp, ds_len, self.blank_id, max_tokens)
-        from dynamic_asr_eval_tpu.ops.beam_search import beam_search_device
+            labels, lab_len = greedy_labels(
+                clean_lp, ds_len, self.blank_id, max_tokens)
+        else:
+            from dynamic_asr_eval_tpu.ops.beam_search import beam_search_device
 
-        toks, lens, _ = beam_search_device(
-            clean_lp,
-            self.lm_adapter,
-            beam_width=beams,
-            blank_id=self.blank_id,
-            valid_frames=ds_len,
-            max_tokens=max_tokens,
-            **self.lm_beam_kwargs,
-        )
-        return toks[0], jnp.minimum(lens[0], max_tokens).astype(jnp.int32)
+            toks, lens, _ = beam_search_device(
+                clean_lp,
+                self.lm_adapter,
+                beam_width=beams,
+                blank_id=self.blank_id,
+                valid_frames=ds_len,
+                max_tokens=max_tokens,
+                **self.lm_beam_kwargs,
+            )
+            labels = toks[0]
+            lab_len = jnp.minimum(lens[0], max_tokens).astype(jnp.int32)
+        if getattr(self.config, "pseudo_label_retokenize", False):
+            # reference-exact mode: decode→re-encode on the host per window
+            # (lcasr/lib.py:560,569-571) — a host sync inside the scan, so
+            # strictly slower than the default id-path labels.  Requires a
+            # host-callback-capable runtime (CPU / standard TPU PjRt; the
+            # axon-tunnel runtime rejects send/recv callbacks at run time)
+            from dynamic_asr_eval_tpu.tta.retokenize import make_retokenize_callback
+
+            labels, lab_len = jax.pure_callback(
+                make_retokenize_callback(self.tokenizer, max_tokens),
+                (jax.ShapeDtypeStruct((max_tokens,), jnp.int32),
+                 jax.ShapeDtypeStruct((), jnp.int32)),
+                labels.astype(jnp.int32), lab_len,
+            )
+        return labels, lab_len
 
     # -- single adaptation step (traced) ----------------------------------
     def _adapt_step(self, optimizer, extra_vars, max_tokens, total_ds, W, spec_dev, carry, xs):
@@ -270,9 +312,22 @@ class DynamicEvalEngine:
                     jnp.full((nn,), lab_len, jnp.int32),
                     blank_id=self.blank_id,
                 ) / (jnp.maximum(ds_len, 1) * nn)
+                if self.config.print_pseudo_labels:
+                    # per-chunk debug parity (lcasr/lib.py:566-568): also
+                    # decode the first NOISY stream greedily for the print
+                    noisy, noisy_len = greedy_labels(
+                        jax.lax.stop_gradient(aug_lp[0]), ds_len,
+                        self.blank_id, max_tokens)
+                    return loss, (clean_lp, ds_len,
+                                  (labels, lab_len, noisy, noisy_len))
                 return loss, (clean_lp, ds_len)
 
-            (loss, (clean_lp, ds_len)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if self.config.print_pseudo_labels:
+                clean_lp, ds_len, dbg = aux
+                jax.debug.callback(self._print_pseudo_labels, *dbg)
+            else:
+                clean_lp, ds_len = aux
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt_state, clean_lp, ds_len, loss
@@ -397,7 +452,21 @@ class DynamicEvalEngine:
         def init(params_b):
             return jax.vmap(self.optimizer_wrapped.init)(params_b)
 
-        return jax.jit(init)
+        if self.mesh is None:
+            return jax.jit(init)
+        # pin the record axis of every state leaf to dp — left to XLA the
+        # vmapped init comes back REPLICATED (each device holding all R
+        # records' Adam moments, (R-1)x wasted per-device HBM at scale);
+        # caught by test_dp_records_per_device_memory_matches_single_record
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = NamedSharding(self.mesh, P("dp"))
+
+        def init_sharded(params_b):
+            return jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, dp), init(params_b))
+
+        return jax.jit(init_sharded)
 
     # -- inference (no-grad chunked forward + stitch) ----------------------
     def _make_infer_run(self, W: int, N: int, total_ds: int, use_mesh: bool = True):
@@ -634,8 +703,23 @@ class DynamicEvalEngine:
 
         Memory: R divergent parameter copies + optimizer states live at once
         (that is the point — they adapt in parallel); callers group records
-        into dp-sized batches.  With a mesh, R must divide evenly over dp."""
+        into dp-sized batches.  With a mesh, R must divide evenly over dp.
+
+        Window-size note: the whole group shares one window size
+        ``W = min(seq_len, max record length)``.  A record shorter than the
+        group max therefore runs at W (its tail windows zero-padded and
+        length-masked) rather than at the ``W = its own length`` a serial
+        `__call__` would pick — numerically identical stitched output, but a
+        different (bigger) compiled shape than its serial run."""
         cfg = self.config
+        if getattr(cfg, "pseudo_label_retokenize", False):
+            raise ValueError(
+                "pseudo_label_retokenize (host callback per window) is not "
+                "supported under --dp_records; run serially for exact mode")
+        if getattr(cfg, "print_pseudo_labels", False):
+            raise ValueError(
+                "print_pseudo_labels (per-chunk host debug print) is not "
+                "supported under --dp_records; run serially to debug")
         seq_len = cfg.seq_len if seq_len == -1 else seq_len
         overlap = cfg.overlap if overlap == -1 else overlap
         specs = [np.asarray(s) for s in specs]
@@ -651,6 +735,11 @@ class DynamicEvalEngine:
         F = specs[0].shape[0]
         max_n = max(s.shape[-1] for s in specs)
         W = min(seq_len, max_n)
+        if max_n <= W:
+            # every record fits one window — mirror _plan's single-window
+            # overlap zeroing so such groups don't trip the multiple-of-ds
+            # check that only matters for stitched boundaries
+            overlap = 0
         if overlap % self.ds:
             raise ValueError(
                 f"overlap ({overlap}) must be a multiple of the subsampling "
@@ -720,12 +809,21 @@ class DynamicEvalEngine:
                 self._adapt_cache["opt_init_b"] = self._build_opt_init_batched()
             adapt = self._adapt_cache[akey]
             opt_state = self._adapt_cache["opt_init_b"](adapted)
-            for _ in range(cfg.epochs):
+            if cfg.shuffle:
+                # pre-draw every epoch's permutation RECORD-major (all of
+                # record r's epochs before record r+1) — the order the serial
+                # loop consumes shuffle_rng in — so --dp_records reproduces
+                # the serial run even with shuffle=True and epochs>1
+                orders_by_record = [
+                    [np.concatenate([shuffle_rng.permutation(len(plans[r][0])),
+                                     np.arange(len(plans[r][0]), N)])
+                     for _ in range(cfg.epochs)]
+                    for r in range(R)
+                ]
+            for epoch in range(cfg.epochs):
                 if cfg.shuffle:
                     order = np.stack([
-                        np.concatenate([shuffle_rng.permutation(len(plans[r][0])),
-                                        np.arange(len(plans[r][0]), N)])
-                        for r in range(R)
+                        orders_by_record[r][epoch] for r in range(R)
                     ]).astype(np.int32)
                 else:
                     order = np.broadcast_to(np.arange(N, dtype=np.int32), (R, N))

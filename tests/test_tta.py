@@ -354,6 +354,42 @@ class TestLMTTABeams:
 
 
 @pytest.mark.slow
+class TestPseudoLabelDebugPrint:
+    def test_prints_pseudo_and_noisy_per_chunk(self, model_and_vars, capfd):
+        """config.print_pseudo_labels: the per-chunk "Pseudo targets / Noisy
+        predictions" debug affordance (lcasr/lib.py:566-568 prints these
+        unconditionally; ours is an opt-in host callback from inside the
+        jitted scan, decoded through the engine tokenizer when present)."""
+        from dynamic_asr_eval_tpu.text import CharTokenizer
+
+        model, variables = model_and_vars
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor,
+            tta_cfg(print_pseudo_labels=True, online=True),
+            tokenizer=CharTokenizer(),
+        )
+        out = engine(variables, make_spec(150))
+        jax.effects_barrier()
+        assert np.isfinite(out.numpy_logits()).all()
+        captured = capfd.readouterr().out
+        assert "Pseudo targets:" in captured
+        assert "Noisy predictions:" in captured
+        # one print per real window
+        from dynamic_asr_eval_tpu.ops.chunk import chunk_starts_and_lengths
+
+        n_real = len(chunk_starts_and_lengths(150, SEQ, OVER)[0])
+        assert captured.count("Pseudo targets:") == n_real
+
+    def test_batched_rejects_debug_print(self, model_and_vars):
+        model, _ = model_and_vars
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor,
+            tta_cfg(print_pseudo_labels=True))
+        with pytest.raises(ValueError, match="print_pseudo_labels"):
+            engine.batched({"params": {}}, [make_spec(64)])
+
+
+@pytest.mark.slow
 class TestRepeats:
     def test_distinct_rng_per_repeat_changes_output(self, model_and_vars):
         """evals/run.py threads PRNGKey(seed*1000 + repeat): with stochastic
