@@ -298,12 +298,42 @@ def _synthetic(split: str, paths=None, n_records: int = 3, seconds: float = 4.0)
     ]
 
 
+def _synthetic_spec(split: str, paths=None) -> List[Dict]:
+    """Spectrogram-level synthetic corpus for timing benches (bench.py corpus
+    mode): per-record FRAME counts from ``DAE_SYNTH_SPEC_FRAMES`` (comma
+    list), spectrograms generated directly — no waveform synthesis or log-mel
+    pass — so a timed driver run measures exactly the adapt → stitched decode
+    → normalize → WER → pickle path (the corpus north-star surface,
+    BASELINE.md; reference single-recording analogue:
+    ``launch_scripts/timeit_earnings22.sh``)."""
+    frames = [int(x) for x in os.environ.get(
+        "DAE_SYNTH_SPEC_FRAMES", "3000,6000").split(",")]
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "speech recognition systems adapt at test time",
+        "long context models stitch overlapping windows",
+    ]
+
+    def process_fn(rec):
+        rng = np.random.default_rng(rec["seed"])
+        spec = rng.standard_normal(
+            (1, 80, rec["frames"]), dtype=np.float32)
+        return spec, normalize(rec["text"])
+
+    return [
+        {"id": f"synthetic_spec_{i}_{t}", "text": texts[i % len(texts)],
+         "audio": None, "seed": i, "frames": t, "process_fn": process_fn}
+        for i, t in enumerate(frames)
+    ]
+
+
 datasets_functions = {
     "earnings22": _earnings22,
     "tedlium": _tedlium,
     "chime6": _chime6,
     "rev16": _rev16,
     "synthetic": _synthetic,
+    "synthetic_spec": _synthetic_spec,
 }
 
 

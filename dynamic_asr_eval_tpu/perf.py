@@ -80,6 +80,37 @@ def training_step_flops(cfg, T_in: int, batch: int,
             + 2.0 * conformer_forward_flops(cfg, T_in, max(gb, 0)))
 
 
+def awmc_step_flops(cfg, T_in: int, epochs: int = 1) -> float:
+    """FLOPs for one AWMC chunk (tta/awmc.py chunk_step): anchor decode +
+    final clean forward (2 forwards, no grad), plus per epoch a leader decode
+    and a student forward (2 forwards) with backward (≈2×) on the student's
+    single augmented copy."""
+    fwd_batch = 2 + 2 * epochs
+    return (conformer_forward_flops(cfg, T_in, batch=fwd_batch)
+            + 2.0 * conformer_forward_flops(cfg, T_in, batch=epochs))
+
+
+def transformer_lm_step_flops(lm_cfg, batch: int, cache_len: Optional[int] = None) -> float:
+    """Matmul FLOPs for ONE incremental LM step (1 new token per stream) of
+    ``lm/transformer_lm.py``'s decoder with a ring-buffer KV cache: qkv/out
+    projections + 2-matmul FF per layer on the single position, plus
+    attention reads over the cache, plus the output head."""
+    d = lm_cfg.d_model
+    L = lm_cfg.n_layers
+    ff = getattr(lm_cfg, "expansion_factor", 4) * d
+    C = cache_len if cache_len is not None else lm_cfg.max_cache_length
+    per_layer = (
+        2 * d * (3 * d)      # qkv projection (1 token)
+        + 2 * C * d          # scores vs cache
+        + 2 * C * d          # attn @ V
+        + 2 * d * d          # out projection
+        + 2 * 2 * d * ff     # feed-forward (two matmuls)
+    )
+    head = 2 * d * lm_cfg.vocab_size
+    embed = 0.0  # table lookup, no matmul
+    return float(batch) * (L * per_layer + head + embed)
+
+
 # bf16 peak dense-matmul throughput per chip, FLOP/s.  Sources: public TPU
 # spec sheets (v4 275T, v5e 197T, v5p 459T, v6e/Trillium 918T).
 _PEAK_BF16 = {

@@ -37,14 +37,14 @@ italic itemi jeopard journal legal legitim liberal lion local magnet
 marginal material maxim mechan memor mesmer metabol militar miniatur
 minim mobil modern monetar monopol moral motor mythologi national natural
 neutral normal optim organ ostrac oxid particular pasteur patron penal
-personal philosoph plagiar polar polit popular prioriti privat
+personal philosoph plagiar polar polit popular priorit privat
 professional pulver radical random rational real recogn rhapsod
 revolution ridicul roman romantic sanit satir scandal scrutin secular
 sensational sensit sentimental serial social special specif stabil
 standard steril stigmat subsid summar symbol sympath synchron synthes
 systemat tantal temporal terror theor tranquill traumat trivial tyrann
-urban utter vandal vapor verbal victim visual vocal vulgar western
-winter womani
+urban util utter vandal vapor verbal victim visual vocal vulgar western
+winter womani public
 """.split()
 
 # -yse → -yze verbs
@@ -134,6 +134,7 @@ _IRREGULAR = {
     "gruelling": "grueling",
     "cancellation": "cancellation",  # ll retained in American
     # misc irregulars
+    "neighbourhood": "neighborhood", "neighbourhoods": "neighborhoods",
     "aeon": "eon", "aeons": "eons",
     "aeroplane": "airplane", "aeroplanes": "airplanes",
     "ageing": "aging",
@@ -211,6 +212,8 @@ def _expand_our(stem: str, out: Dict[str, str]):
         ("ourable", "orable"), ("ourably", "orably"),
         ("ourful", "orful"), ("ourless", "orless"),
         ("ourer", "orer"), ("ourers", "orers"),
+        ("oural", "oral"), ("ourally", "orally"),  # behavioural(ly)
+        ("oury", "ory"), ("ouries", "ories"),  # savoury/savouries
     )
     for b, a in pairs:
         out[stem + b] = stem + a

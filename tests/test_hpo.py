@@ -110,3 +110,68 @@ def test_sweep_cli_bayes_uses_tpe(tmp_path, monkeypatch):
     early = [abs(lr - 3.0) for lr, _ in calls[:5]]
     late = [abs(lr - 3.0) for lr, _ in calls[-10:]]
     assert sorted(late)[len(late) // 2] < sorted(early)[len(early) // 2]
+
+
+def test_sweep_wandb_agent_path(tmp_path, monkeypatch):
+    """The wandb-online branch (run_sweep.py:119-133, mirroring
+    lcasr/run_sweep.py:18-34) driven by an injected fake ``wandb`` module:
+    sweep registration gets the YAML, the agent function pulls overrides from
+    ``wandb.config``, forces the dev split, and logs WER."""
+    import argparse
+    import sys
+    import types
+
+    import yaml
+
+    from dynamic_asr_eval_tpu.evals import run_sweep
+
+    sweep = {
+        "method": "bayes",
+        "metric": {"name": "WER", "goal": "minimize"},
+        "project": "dae_test",
+        "parameters": {"optim_lr": {"values": [1e-5, 9e-5]}},
+    }
+    cfg_path = tmp_path / "sweep.yaml"
+    cfg_path.write_text(yaml.safe_dump(sweep))
+
+    seen = []
+
+    def fake_run(run_args):
+        seen.append(run_args)
+        return 0.5 - 0.1 * len(seen)
+
+    monkeypatch.setattr(run_sweep, "_register_run_scripts", lambda: None)
+    monkeypatch.setitem(run_sweep.RUN_SCRIPTS, "fake", fake_run)
+
+    state = {"sweep": None, "inits": 0, "logged": []}
+    cfgs = [{"optim_lr": 1e-5}, {"optim_lr": 9e-5}]
+    fake = types.ModuleType("wandb")
+
+    def fake_sweep(s, project=None):
+        state["sweep"] = (s, project)
+        return "sweep-id-1"
+
+    def fake_agent(sweep_id, function, count):
+        assert sweep_id == "sweep-id-1"
+        for i in range(count):
+            fake.config = cfgs[i % len(cfgs)]
+            function()
+
+    fake.sweep = fake_sweep
+    fake.agent = fake_agent
+    fake.init = lambda *a, **k: state.__setitem__("inits", state["inits"] + 1)
+    fake.log = lambda d: state["logged"].append(d)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    base = argparse.Namespace(dataset="synthetic", split="test")
+    args = argparse.Namespace(
+        sweep_config=str(cfg_path), run_script="fake", count=2, out="",
+        no_wandb=False, base_args=base,
+    )
+    run_sweep.main(args)
+
+    assert state["sweep"] == (sweep, "dae_test")
+    assert state["inits"] == 2
+    assert [a.optim_lr for a in seen] == [1e-5, 9e-5]
+    assert all(a.split == "dev" for a in seen)  # run_sweep.py:128 / ref :40
+    assert [d["WER"] for d in state["logged"]] == [0.4, 0.3]

@@ -147,3 +147,223 @@ class TestSentencePieceParser:
         tok = SentencePieceTokenizer(pieces, scores, types)
         ids = tok.encode("ab")
         assert tok.decode(ids) == "ab"
+
+
+class TestSpellingGoldenSet:
+    """VERDICT r4 ask #4: the ~200 highest-frequency British forms as an
+    explicit expected-mapping golden set (turning "table is big" into "table
+    is right where it matters"), plus idempotence and hypothesis/gold
+    equal-treatment properties.  Matches the scoring role of whisper's
+    english.json in the reference (lcasr/run.py:8-9)."""
+
+    # (british, american) — curated by corpus frequency of the British form
+    GOLDEN = [
+        # -our family
+        ("colour", "color"), ("colours", "colors"), ("coloured", "colored"),
+        ("colourful", "colorful"), ("colouring", "coloring"),
+        ("honour", "honor"), ("honours", "honors"), ("honoured", "honored"),
+        ("honourable", "honorable"),
+        ("favour", "favor"), ("favours", "favors"), ("favoured", "favored"),
+        ("favourite", "favorite"), ("favourites", "favorites"),
+        ("favourable", "favorable"), ("favourably", "favorably"),
+        ("flavour", "flavor"), ("flavours", "flavors"),
+        ("flavoured", "flavored"),
+        ("labour", "labor"), ("labours", "labors"), ("laboured", "labored"),
+        ("labourer", "laborer"), ("labourers", "laborers"),
+        ("neighbour", "neighbor"), ("neighbours", "neighbors"),
+        ("neighbouring", "neighboring"),
+        ("neighbourhood", "neighborhood"),
+        ("neighbourhoods", "neighborhoods"),
+        ("humour", "humor"), ("rumour", "rumor"), ("rumours", "rumors"),
+        ("armour", "armor"), ("armoured", "armored"),
+        ("harbour", "harbor"), ("harbours", "harbors"),
+        ("behaviour", "behavior"), ("behaviours", "behaviors"),
+        ("behavioural", "behavioral"),
+        ("endeavour", "endeavor"), ("endeavours", "endeavors"),
+        ("vigour", "vigor"), ("rigour", "rigor"), ("candour", "candor"),
+        ("splendour", "splendor"), ("valour", "valor"), ("odour", "odor"),
+        ("odours", "odors"), ("parlour", "parlor"),
+        ("savoury", "savory"),
+        # -ise family
+        ("realise", "realize"), ("realised", "realized"),
+        ("realises", "realizes"), ("realising", "realizing"),
+        ("realisation", "realization"),
+        ("organise", "organize"), ("organised", "organized"),
+        ("organising", "organizing"), ("organisation", "organization"),
+        ("organisations", "organizations"),
+        ("recognise", "recognize"), ("recognised", "recognized"),
+        ("recognises", "recognizes"), ("recognising", "recognizing"),
+        ("apologise", "apologize"), ("apologised", "apologized"),
+        ("criticise", "criticize"), ("criticised", "criticized"),
+        ("criticising", "criticizing"),
+        ("emphasise", "emphasize"), ("emphasised", "emphasized"),
+        ("specialise", "specialize"), ("specialised", "specialized"),
+        ("specialising", "specializing"),
+        ("minimise", "minimize"), ("minimised", "minimized"),
+        ("maximise", "maximize"), ("maximised", "maximized"),
+        ("utilise", "utilize"), ("utilised", "utilized"),
+        ("utilising", "utilizing"), ("utilisation", "utilization"),
+        ("summarise", "summarize"), ("summarised", "summarized"),
+        ("categorise", "categorize"), ("prioritise", "prioritize"),
+        ("capitalise", "capitalize"), ("centralise", "centralize"),
+        ("characterise", "characterize"),
+        ("characterised", "characterized"),
+        ("colonise", "colonize"), ("customise", "customize"),
+        ("customised", "customized"),
+        ("digitise", "digitize"), ("dramatise", "dramatize"),
+        ("economise", "economize"), ("equalise", "equalize"),
+        ("familiarise", "familiarize"), ("fertilise", "fertilize"),
+        ("fertiliser", "fertilizer"), ("fertilisers", "fertilizers"),
+        ("finalise", "finalize"), ("finalised", "finalized"),
+        ("formalise", "formalize"), ("generalise", "generalize"),
+        ("generalised", "generalized"),
+        ("globalisation", "globalization"),
+        ("harmonise", "harmonize"), ("hospitalised", "hospitalized"),
+        ("immunise", "immunize"), ("immunisation", "immunization"),
+        ("legalise", "legalize"), ("legalised", "legalized"),
+        ("liberalise", "liberalize"), ("localised", "localized"),
+        ("memorise", "memorize"), ("memorised", "memorized"),
+        ("mobilise", "mobilize"), ("mobilised", "mobilized"),
+        ("modernise", "modernize"), ("modernised", "modernized"),
+        ("nationalise", "nationalize"), ("nationalised", "nationalized"),
+        ("neutralise", "neutralize"), ("neutralised", "neutralized"),
+        ("normalise", "normalize"), ("normalised", "normalized"),
+        ("optimise", "optimize"), ("optimised", "optimized"),
+        ("penalise", "penalize"), ("penalised", "penalized"),
+        ("personalised", "personalized"),
+        ("popularised", "popularized"),
+        ("privatise", "privatize"), ("privatised", "privatized"),
+        ("privatisation", "privatization"),
+        ("publicise", "publicize"), ("publicised", "publicized"),
+        ("randomised", "randomized"),
+        ("rationalise", "rationalize"),
+        ("revolutionise", "revolutionize"),
+        ("revolutionised", "revolutionized"),
+        ("scrutinise", "scrutinize"), ("scrutinised", "scrutinized"),
+        ("socialise", "socialize"), ("socialised", "socialized"),
+        ("stabilise", "stabilize"), ("stabilised", "stabilized"),
+        ("standardise", "standardize"), ("standardised", "standardized"),
+        ("sterilise", "sterilize"), ("sterilised", "sterilized"),
+        ("subsidise", "subsidize"), ("subsidised", "subsidized"),
+        ("subsidises", "subsidizes"),
+        ("symbolise", "symbolize"), ("sympathise", "sympathize"),
+        ("synchronise", "synchronize"), ("synchronised", "synchronized"),
+        ("terrorise", "terrorize"), ("theorise", "theorize"),
+        ("visualise", "visualize"), ("visualised", "visualized"),
+        # -yse
+        ("analyse", "analyze"), ("analysed", "analyzed"),
+        ("analysing", "analyzing"), ("paralyse", "paralyze"),
+        ("paralysed", "paralyzed"), ("catalyse", "catalyze"),
+        # -re
+        ("centre", "center"), ("centres", "centers"), ("centred", "centered"),
+        ("theatre", "theater"), ("theatres", "theaters"),
+        ("metre", "meter"), ("metres", "meters"),
+        ("litre", "liter"), ("litres", "liters"),
+        ("fibre", "fiber"), ("fibres", "fibers"),
+        ("calibre", "caliber"),
+        ("kilometre", "kilometer"), ("kilometres", "kilometers"),
+        ("centimetre", "centimeter"), ("centimetres", "centimeters"),
+        ("millimetre", "millimeter"), ("millimetres", "millimeters"),
+        ("sombre", "somber"), ("spectre", "specter"),
+        ("lustre", "luster"), ("meagre", "meager"),
+        ("epicentre", "epicenter"),
+        # -ogue
+        ("catalogue", "catalog"), ("catalogues", "catalogs"),
+        ("dialogue", "dialog"), ("dialogues", "dialogs"),
+        ("analogue", "analog"), ("monologue", "monolog"),
+        ("prologue", "prolog"), ("epilogue", "epilog"),
+        # doubled-l inflections
+        ("travelled", "traveled"), ("travelling", "traveling"),
+        ("traveller", "traveler"), ("travellers", "travelers"),
+        ("cancelled", "canceled"), ("cancelling", "canceling"),
+        ("labelled", "labeled"), ("labelling", "labeling"),
+        ("modelled", "modeled"), ("modelling", "modeling"),
+        ("levelled", "leveled"), ("channelled", "channeled"),
+        ("counselled", "counseled"), ("counselling", "counseling"),
+        ("counsellor", "counselor"), ("counsellors", "counselors"),
+        ("signalled", "signaled"), ("signalling", "signaling"),
+        ("totalled", "totaled"), ("totalling", "totaling"),
+        ("fuelled", "fueled"), ("fuelling", "fueling"),
+        ("dialled", "dialed"), ("dialling", "dialing"),
+        ("equalled", "equaled"), ("marvelled", "marveled"),
+        ("marvellous", "marvelous"),
+        ("quarrelled", "quarreled"), ("rivalled", "rivaled"),
+        ("shovelled", "shoveled"), ("pedalled", "pedaled"),
+        ("panelled", "paneled"), ("gruelling", "grueling"),
+        # -ence → -ense
+        ("defence", "defense"), ("defences", "defenses"),
+        ("offence", "offense"), ("offences", "offenses"),
+        ("licence", "license"), ("licences", "licenses"),
+        ("pretence", "pretense"),
+        # -amme
+        ("programme", "program"), ("programmes", "programs"),
+        # high-frequency irregulars
+        ("grey", "gray"), ("greys", "grays"),
+        ("tyre", "tire"), ("tyres", "tires"),
+        ("cheque", "check"), ("cheques", "checks"),
+        ("plough", "plow"), ("mould", "mold"), ("moulded", "molded"),
+        ("mouldy", "moldy"), ("moustache", "mustache"),
+        ("pyjamas", "pajamas"), ("aluminium", "aluminum"),
+        ("aeroplane", "airplane"), ("aeroplanes", "airplanes"),
+        ("draught", "draft"), ("draughts", "drafts"),
+        ("gaol", "jail"), ("kerb", "curb"),
+        ("storey", "story"), ("storeys", "stories"),
+        ("sulphur", "sulfur"), ("sulphuric", "sulfuric"),
+        ("yoghurt", "yogurt"), ("doughnut", "donut"),
+        ("doughnuts", "donuts"),
+        ("judgement", "judgment"), ("judgements", "judgments"),
+        ("practise", "practice"), ("practised", "practiced"),
+        ("practising", "practicing"), ("practises", "practices"),
+        ("sceptic", "skeptic"), ("sceptical", "skeptical"),
+        ("scepticism", "skepticism"),
+        ("speciality", "specialty"), ("specialities", "specialties"),
+        ("artefact", "artifact"), ("artefacts", "artifacts"),
+        ("ageing", "aging"), ("omelette", "omelet"),
+        ("enrol", "enroll"), ("enrolment", "enrollment"),
+        ("fulfil", "fulfill"), ("fulfilment", "fulfillment"),
+        ("instalment", "installment"), ("instalments", "installments"),
+        ("wilful", "willful"), ("skilful", "skillful"),
+        ("distil", "distill"), ("instil", "instill"),
+        ("woollen", "woolen"), ("jewellery", "jewelry"),
+        ("cosy", "cozy"), ("chilli", "chili"),
+        ("smoulder", "smolder"), ("smouldering", "smoldering"),
+        ("tsar", "czar"), ("titbit", "tidbit"),
+        ("mediaeval", "medieval"), ("encyclopaedia", "encyclopedia"),
+        ("anaesthesia", "anesthesia"), ("anaesthetic", "anesthetic"),
+        ("paediatrician", "pediatrician"), ("leukaemia", "leukemia"),
+        ("haemorrhage", "hemorrhage"), ("oesophagus", "esophagus"),
+        ("oestrogen", "estrogen"), ("foetus", "fetus"),
+        ("manoeuvre", "maneuver"), ("manoeuvres", "maneuvers"),
+        ("focussed", "focused"), ("focussing", "focusing"),
+        ("orientated", "oriented"),
+    ]
+
+    def test_golden_mappings(self):
+        from dynamic_asr_eval_tpu.text.spelling import english_spelling_mapping
+
+        m = english_spelling_mapping()
+        missing = [(b, a) for b, a in self.GOLDEN if m.get(b) != a]
+        assert not missing, f"{len(missing)} golden entries wrong/absent: {missing[:20]}"
+
+    def test_idempotent(self):
+        """Mapping values are fixed points — no british→X→Y chains, and
+        normalize(normalize(s)) == normalize(s)."""
+        from dynamic_asr_eval_tpu.text.spelling import english_spelling_mapping
+
+        m = english_spelling_mapping()
+        chained = [(k, v, m[v]) for k, v in m.items() if v in m]
+        assert not chained, chained[:10]
+        text = " ".join(b for b, _ in self.GOLDEN[:60])
+        once = normalize(text)
+        assert normalize(once) == once
+
+    def test_hypothesis_gold_equal_treatment(self):
+        """A British-spelled gold vs an American-spelled hypothesis must
+        score ZERO errors after normalization — the scoring property the
+        table exists for."""
+        from dynamic_asr_eval_tpu.text.wer import word_error_rate_detail
+
+        gold = " ".join(b for b, _ in self.GOLDEN)
+        hyp = " ".join(a for _, a in self.GOLDEN)
+        wer = word_error_rate_detail([normalize(hyp)], [normalize(gold)])[0]
+        assert wer == 0.0

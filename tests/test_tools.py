@@ -10,6 +10,26 @@ import jax.numpy as jnp
 from dynamic_asr_eval_tpu.text import CharTokenizer
 
 
+class TestSyntheticSpecDataset:
+    def test_frames_from_env_and_record_contract(self, monkeypatch):
+        """bench.py's corpus mode feeds the real driver via this adapter:
+        per-record frame counts from DAE_SYNTH_SPEC_FRAMES, records carry the
+        standard {'id','text','audio','process_fn'} contract, and process_fn
+        returns ([1, 80, T] float32 spec, normalized gold)."""
+        from dynamic_asr_eval_tpu.data import get_dataset
+
+        monkeypatch.setenv("DAE_SYNTH_SPEC_FRAMES", "120,250,120")
+        recs = get_dataset("synthetic_spec", "test")
+        assert [r["frames"] for r in recs] == [120, 250, 120]
+        assert len({r["id"] for r in recs}) == 3
+        spec, gold = recs[1]["process_fn"](recs[1])
+        assert spec.shape == (1, 80, 250) and spec.dtype == np.float32
+        assert isinstance(gold, str) and gold
+        # deterministic per record (seeded)
+        spec2, _ = recs[1]["process_fn"](recs[1])
+        np.testing.assert_array_equal(spec, spec2)
+
+
 class TestLexicon:
     def _emissions(self, text, tok):
         V = tok.vocab_size()
