@@ -584,7 +584,13 @@ def main():
 
         # ---- 4. corpus-level north star (real CLI, cold + warm) -----------
         if on_tpu and not int(os.environ.get("DAE_BENCH_NO_CORPUS", "0")):
-            _corpus_rows(extra)
+            # never let a corpus-stage failure (tunnel hiccup, OOM, cut-off
+            # signal) take down the rows already measured above
+            try:
+                _corpus_rows(extra)
+            except BaseException as exc:  # noqa: BLE001
+                print(f"bench: WARNING corpus rows FAILED: {exc!r}",
+                      file=sys.stderr)
 
     result = {
         "metric": "earnings22_nsti_online_rtfx",
