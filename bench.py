@@ -273,12 +273,21 @@ def _corpus_rows(extra):
 
     Default corpus: 6 recordings, 0.30/0.31/0.50/0.51/1.19/1.20 h (4.0 h
     total), chosen so the window counts land in THREE ``pad_num_chunks``
-    buckets (48, 88, 208) with two recordings each — the warm pass therefore
-    measures both bucket-compile reuse across recordings and the per-record
-    host phases (spec build, decode-to-host, normalize, WER, pickle) that the
-    single-recording rows exclude."""
+    buckets (48, 88, 208) with two recordings each — exercising bucket-
+    executable reuse across different recording lengths (the round-5
+    ``_plan`` shape-bucketing fix) plus the per-record host phases (spec
+    build, upload, decode-to-host, normalize) that the single-recording rows
+    exclude.
+
+    One CLI invocation with ``-r 2``: the two repeats share the driver's
+    engine (and therefore its traced executables), exactly like a long real
+    corpus where dozens of recordings share each bucket's program.  Repeat 1
+    is the cold pass (carries per-bucket trace + compile-cache load inside
+    its per-record walls); repeat 2 is the steady state.  Warm RTFx divides
+    audio by the repeat-2 per-record walls (WER aggregation + pickle dump,
+    <1 s for 6 records, excluded); cold RTFx divides by everything else —
+    process model build, compiles, and the full repeat-1 loop."""
     import dataclasses
-    import glob
     import pickle
     import tempfile
 
@@ -307,6 +316,7 @@ def _corpus_rows(extra):
         cfg_args = ["-config", cfg_path]
 
     argv = ["-d", "synthetic_spec", "--quiet", *cfg_args,
+            "-r", "2",
             "-seq", seq, "-o", overlap,
             "-s", os.path.join(tmpdir, "corpus", "r.pkl"),
             "-kwargs", "epochs=1", "online=true", "shuffle=false",
@@ -320,23 +330,23 @@ def _corpus_rows(extra):
     with contextlib.redirect_stdout(sys.stderr):
         t0 = time.time()
         run_driver.cli(list(argv))
-        cold = time.time() - t0
-        t0 = time.time()
-        run_driver.cli(list(argv))
-        warm = time.time() - t0
+        wall = time.time() - t0
 
-    pkl = sorted(glob.glob(os.path.join(tmpdir, "corpus", "*.pkl")))[-1]
-    with open(pkl, "rb") as f:
-        detail = pickle.load(f)
-    eng_s = float(sum(detail.get("elapsed_times") or []))
+    def _eng(repeat):
+        with open(os.path.join(tmpdir, "corpus", f"r_{repeat}.pkl"), "rb") as f:
+            return [float(x) for x in pickle.load(f)["elapsed_times"]]
+
+    per_rec_1, per_rec_2 = _eng(1), _eng(2)
+    warm = sum(per_rec_2)
+    cold = wall - warm
     rtfx_warm = audio_s / warm
     rtfx_cold = audio_s / cold
-    print(f"bench: corpus {len(frames)} recordings ({audio_s:.0f}s audio): "
-          f"cold {cold:.1f}s (RTFx {rtfx_cold:.1f}) / warm {warm:.1f}s "
-          f"(RTFx {rtfx_warm:.1f}); warm split: adapt+decode {eng_s:.1f}s, "
-          f"other host (spec build, WER, pickle) {warm - eng_s:.1f}s; "
-          f"recompile/trace share cold-warm {cold - warm:.1f}s",
-          file=sys.stderr)
+    print(f"bench: corpus {len(frames)} recordings ({audio_s:.0f}s audio), "
+          f"one -r 2 run {wall:.1f}s: cold (model build + compiles + repeat-1 "
+          f"loop) {cold:.1f}s (RTFx {rtfx_cold:.1f}) / warm (repeat-2 record "
+          f"walls) {warm:.1f}s (RTFx {rtfx_warm:.1f}); warm per-record "
+          f"{[round(x, 2) for x in per_rec_2]}, cold repeat-1 per-record "
+          f"{[round(x, 2) for x in per_rec_1]}", file=sys.stderr)
     extra.append({
         "metric": "earnings22_corpus_nsti_rtfx",
         "value": round(rtfx_warm, 2),
@@ -388,6 +398,16 @@ def main():
     fast = bool(int(os.environ.get("DAE_BENCH_FAST", "0")))  # primary metric only
     # LM-decode row only (skips NSTI/AWMC; for iterating on the decode path)
     lm_only = bool(int(os.environ.get("DAE_BENCH_LM_ONLY", "0")))
+    # corpus rows only (skips everything else; for iterating on the corpus CLI path)
+    corpus_only = bool(int(os.environ.get("DAE_BENCH_CORPUS_ONLY", "0")))
+
+    if corpus_only:
+        rows = []
+        _corpus_rows(rows)
+        out = dict(rows[0])
+        out["extra_metrics"] = rows[1:]
+        print(json.dumps(out))
+        return
 
     from dynamic_asr_eval_tpu.config import SpecAugmentConfig, TTAConfig
     from dynamic_asr_eval_tpu.models import init_conformer

@@ -576,11 +576,26 @@ class DynamicEvalEngine:
         lengths_np = np.zeros((N,), np.int32)
         starts_np[:n_real] = starts
         lengths_np[:n_real] = lengths
-        # pad spec so every slice [start, start+W) is in range
-        T_pad = int(max(starts_np.max() + W, spec_n))
+        # Derive the padded spec length and the stitched-buffer length from
+        # the WINDOW-COUNT BUCKET alone, never from spec_n: pad_num_chunks
+        # bounds the number of distinct scan lengths, but T_pad and total_ds
+        # are also part of the compiled program's signature — deriving them
+        # from spec_n (the old ``max(last_start + W, spec_n)``) re-keyed the
+        # executable on every distinct recording length, recompiling once per
+        # RECORDING on heterogeneous corpora (measured on chip: corpus RTFx
+        # 83 → 278 from this change alone, PERF.md round-5).  The extra tail
+        # is zero spec under zero-length windows: no stitch contribution,
+        # ``counts == 0`` there, so trimmed outputs are unchanged.
+        if n_real > 1:
+            T_pad = (N - 1) * (W - overlap) + W  # span of a full bucket
+        else:
+            # single real window: W == spec_n (or the caller's smaller seq),
+            # so the window size itself varies per recording and bucketing
+            # the tail buys no executable reuse
+            T_pad = int(max(starts_np.max() + W, spec_n))
         spec_padded = np.zeros((spec.shape[0], T_pad), dtype=spec.dtype)
         spec_padded[:, :spec_n] = spec
-        total_ds = _ds_ceil(spec_n, self.ds) + _ds_ceil(W, self.ds)
+        total_ds = _ds_ceil(T_pad, self.ds) + _ds_ceil(W, self.ds)
         return spec_padded, spec_n, W, N, n_real, starts_np, lengths_np, total_ds
 
     # -- public API --------------------------------------------------------
@@ -757,11 +772,16 @@ class DynamicEvalEngine:
         for r, (st, ln) in enumerate(plans):
             starts_np[r, : len(st)] = st
             lengths_np[r, : len(ln)] = ln
-        T_pad = int(max(starts_np.max() + W, max_n))
+        # same bucket-span shape derivation as _plan: keep the compiled
+        # program keyed on (W, N), not on the group's max recording length
+        if max_n > W:
+            T_pad = (N - 1) * (W - overlap) + W
+        else:
+            T_pad = int(max(starts_np.max() + W, max_n))
         spec_b = np.zeros((R, F, T_pad), dtype=specs[0].dtype)
         for r, s in enumerate(specs):
             spec_b[r, :, : s.shape[-1]] = s
-        total_ds = _ds_ceil(max_n, self.ds) + _ds_ceil(W, self.ds)
+        total_ds = _ds_ceil(T_pad, self.ds) + _ds_ceil(W, self.ds)
 
         params = variables["params"]
         extra_vars = {k: v for k, v in variables.items() if k != "params"}

@@ -425,3 +425,79 @@ class TestRepeats:
                      "-kwargs", "epochs=1", "seq_len=512", "overlap=0"])
         assert len(seen) >= 2
         assert not np.array_equal(seen[0], seen[1]), "records share one key"
+
+
+class TestBucketedProgramShapes:
+    """Round-5 corpus fix: program shapes (padded spec length, stitched
+    buffer length) must derive from the window-count bucket alone, never
+    from the exact frame count — otherwise every distinct recording length
+    recompiles the adapt executable (measured on chip: corpus RTFx 83 → 278
+    once shapes were bucketed; PERF.md round-5)."""
+
+    @staticmethod
+    def _same_bucket_lengths(seq, overlap, lo=150, hi=400):
+        """Find two distinct multi-window frame counts whose window counts
+        share one pad_num_chunks bucket."""
+        from dynamic_asr_eval_tpu.ops.chunk import (
+            chunk_starts_and_lengths, pad_num_chunks)
+
+        by_bucket = {}
+        for T in range(lo, hi):
+            n_real = len(chunk_starts_and_lengths(T, seq, overlap)[0])
+            if n_real < 2:
+                continue
+            by_bucket.setdefault(pad_num_chunks(n_real), []).append(T)
+        for bucket, ts in sorted(by_bucket.items()):
+            if len(ts) >= 2 and ts[-1] - ts[0] >= 8:
+                return ts[0], ts[-1]
+        raise AssertionError("no same-bucket length pair found")
+
+    def test_plan_shapes_keyed_on_bucket_not_frame_count(self, model_and_vars):
+        model, variables = model_and_vars
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor, tta_cfg())
+        t_a, t_b = self._same_bucket_lengths(SEQ, OVER)
+        plan_a = engine._plan(make_spec(t_a), -1, -1)
+        plan_b = engine._plan(make_spec(t_b), -1, -1)
+        # (spec_padded.shape, W, N, total_ds) — everything that enters the
+        # compiled program's signature — must be identical
+        sig_a = (plan_a[0].shape, plan_a[2], plan_a[3], plan_a[7])
+        sig_b = (plan_b[0].shape, plan_b[2], plan_b[3], plan_b[7])
+        assert sig_a == sig_b, (sig_a, sig_b)
+
+    def test_same_bucket_recordings_share_one_adapt_executable(
+            self, model_and_vars):
+        model, variables = model_and_vars
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor, tta_cfg())
+        t_a, t_b = self._same_bucket_lengths(SEQ, OVER)
+        out_a = engine(variables, make_spec(t_a, seed=1),
+                       rng=jax.random.PRNGKey(1))
+        out_b = engine(variables, make_spec(t_b, seed=2),
+                       rng=jax.random.PRNGKey(2))
+        adapt_keys = [k for k in engine._adapt_cache
+                      if isinstance(k, tuple) and k and k[0] not in
+                      ("tile", "dp_records")]
+        assert len(adapt_keys) == 1, adapt_keys
+        # bucket padding must not leak into the trimmed deliverable: valid
+        # stitched rows still cover exactly ceil(spec_n / ds)
+        ds = CFG.subsampling_factor
+        assert out_a.numpy_logits().shape[0] == -(-t_a // ds)
+        assert out_b.numpy_logits().shape[0] == -(-t_b // ds)
+
+    def test_batched_groups_share_one_executable_across_max_lengths(
+            self, model_and_vars):
+        model, variables = model_and_vars
+        engine = DynamicEvalEngine(
+            model, CFG.blank_id, CFG.subsampling_factor, tta_cfg())
+        t_a, t_b = self._same_bucket_lengths(SEQ, OVER)
+        # two groups whose MAX lengths differ but share a window bucket
+        engine.batched(variables, [make_spec(t_a, seed=1),
+                                   make_spec(t_a - 4, seed=2)],
+                       rng=jax.random.PRNGKey(1))
+        engine.batched(variables, [make_spec(t_b, seed=3),
+                                   make_spec(t_b - 4, seed=4)],
+                       rng=jax.random.PRNGKey(2))
+        dp_keys = [k for k in engine._adapt_cache
+                   if isinstance(k, tuple) and k and k[0] == "dp_records"]
+        assert len(dp_keys) == 1, dp_keys
