@@ -59,10 +59,14 @@ def _load_ref(name: str, filename: str, stubs: dict):
     ``sys.modules`` stubs for its unavailable imports."""
     for mod_name, attrs in stubs.items():
         if mod_name not in sys.modules:
-            m = types.ModuleType(mod_name)
-            for k, v in attrs.items():
+            sys.modules[mod_name] = types.ModuleType(mod_name)
+        m = sys.modules[mod_name]
+        for k, v in attrs.items():
+            # fill attrs missing from a stub another oracle already installed
+            # (e.g. lming.utils gets `helpers` from the beam-search oracle and
+            # `general` from the lib.py oracle)
+            if not hasattr(m, k):
                 setattr(m, k, v)
-            sys.modules[mod_name] = m
     if name in sys.modules:
         return sys.modules[name]
     spec = importlib.util.spec_from_file_location(
@@ -100,6 +104,82 @@ def _ref_beam_search():
             "lming.models": {},
             "lming.models.transformer": {
                 "transformer_lm": type("transformer_lm", (), {})
+            },
+        },
+    )
+
+
+class _Anything:
+    """Permissive stand-in for the reference's OmegaConf paths object (only
+    ever attribute-walked lazily inside functions we don't call)."""
+
+    def __getattr__(self, k):
+        return _Anything()
+
+    def __getitem__(self, k):
+        return _Anything()
+
+
+def _ref_lib():
+    """Import the reference's core ``lib.py`` for its PURE helpers
+    (``prepare_chunks``, the config-from-args scrapers, ``calc_rewards``).
+    Heavier members (engines, enc-dec loops) need real models and stay
+    untouched; the stubs below only satisfy module-level imports."""
+    from dynamic_asr_eval_tpu.text import normalize as _normalize
+    from dynamic_asr_eval_tpu.text.wer import word_error_rate_detail as _wer
+
+    # lib.py does `from enc_dec_teacher_filters import ...` by bare name
+    sys.modules.setdefault("enc_dec_teacher_filters", _ref_filters())
+
+    class _EnglishTextNormalizer:
+        def __call__(self, s):
+            return _normalize(s)
+
+    return _load_ref(
+        "ref_lib",
+        "lib.py",
+        {
+            "omegaconf": {
+                "OmegaConf": type(
+                    "OmegaConf", (), {"load": staticmethod(lambda p: _Anything())}
+                )
+            },
+            "lcasr": {},
+            "lcasr.utils": {},
+            "lcasr.utils.augmentation": {"SpecAugment": type("SpecAugment", (), {})},
+            "lcasr.utils.lm_tools": {
+                "add_eos": lambda *a, **k: None,
+                "token_lens_to_mask": lambda *a, **k: None,
+                "mark_padding": lambda *a, **k: None,
+            },
+            "lcasr.decoding": {},
+            "lcasr.decoding.greedy": {
+                "GreedyCTCDecoder": type("GreedyCTCDecoder", (), {})
+            },
+            "lcasr.optim": {
+                # lib.py evaluates `madgrad.MADGRAD` at def time (default arg)
+                "madgrad": type("madgrad", (), {"MADGRAD": type("MADGRAD", (), {})})
+            },
+            "lcasr.components": {},
+            "lcasr.components.batchrenorm": {
+                "BatchRenorm1d": type("BatchRenorm1d", (), {})
+            },
+            "lcasr.eval": {},
+            "lcasr.eval.wer": {"word_error_rate_detail": _wer},
+            "lming": {},
+            "lming.utils": {"general": types.ModuleType("general")},
+            "matplotlib": {"pyplot": types.ModuleType("pyplot")},
+            "matplotlib.pyplot": {},
+            "torch_ema": {
+                "ExponentialMovingAverage": type(
+                    "ExponentialMovingAverage", (), {}
+                )
+            },
+            # calc_rewards imports this lazily; the normalizer object is
+            # constructed but its calls are commented out in the reference
+            "whisper": {"normalizers": types.ModuleType("normalizers")},
+            "whisper.normalizers": {
+                "EnglishTextNormalizer": _EnglishTextNormalizer
             },
         },
     )
@@ -564,3 +644,129 @@ class TestBeamSearchDeviceOracle:
                 # surviving prefix set
                 assert n_live == len(ref_beams), (kw, ref_beams, scores)
                 _assert_beams_match(ref_beams, ours)
+
+
+# ---------------------------------------------------------------------------
+# lib.py pure helpers (round 5): chunk stop rule, config scrapers, rewards
+# ---------------------------------------------------------------------------
+
+
+class TestLibHelpersOracle:
+    """Pin the chunker stop rule, the four -kwargs config scrapers, and the
+    GRPO reward shaping against the reference's OWN ``lib.py`` source
+    (previously these were property-tested against a hand-transcribed rule)."""
+
+    def test_prepare_chunks_randomized(self):
+        from dynamic_asr_eval_tpu.ops.chunk import chunk_starts_and_lengths
+
+        lib = _ref_lib()
+        rng = np.random.default_rng(0)
+        n_multi = 0
+        for _ in range(300):
+            seq_len = int(rng.integers(4, 200))
+            overlap = int(rng.integers(0, seq_len))
+            spec_n = int(rng.integers(1, 900))
+            spec = torch.arange(spec_n, dtype=torch.float32).reshape(1, 1, spec_n)
+            ref_chunks, ref_keys = lib.prepare_chunks(spec, seq_len, overlap)
+            starts, lengths = chunk_starts_and_lengths(spec_n, seq_len, overlap)
+            assert list(starts) == list(ref_keys), (spec_n, seq_len, overlap)
+            assert [int(x) for x in lengths] == [
+                ref_chunks[k].shape[-1] for k in ref_keys
+            ], (spec_n, seq_len, overlap)
+            # window contents are pure slices — spot-check byte equality
+            for k in ref_keys:
+                np.testing.assert_array_equal(
+                    ref_chunks[k][0, 0].numpy(),
+                    np.arange(spec_n, dtype=np.float32)[k: k + seq_len],
+                )
+            n_multi += len(ref_keys) > 1
+        assert n_multi > 100  # the draw actually exercised multi-window specs
+
+    def test_prepare_chunks_edges(self):
+        from dynamic_asr_eval_tpu.ops.chunk import chunk_starts_and_lengths
+
+        lib = _ref_lib()
+        for spec_n, seq_len, overlap in [
+            (10, 10, 0),     # exactly one window
+            (9, 10, 4),      # shorter than seq_len
+            (1, 10, 0),      # single frame
+            (20, 10, 0),     # exact multiple, no overlap
+            (30, 10, 5),     # exact multiple with overlap
+            (31, 10, 5),     # one trailing frame
+            (100, 10, 9),    # stride 1
+        ]:
+            spec = torch.zeros(1, 1, spec_n)
+            _, ref_keys = lib.prepare_chunks(spec, seq_len, overlap)
+            ref_lens = [lib.prepare_chunks(spec, seq_len, overlap)[0][k].shape[-1]
+                        for k in ref_keys]
+            starts, lengths = chunk_starts_and_lengths(spec_n, seq_len, overlap)
+            assert list(starts) == list(ref_keys), (spec_n, seq_len, overlap)
+            assert [int(x) for x in lengths] == ref_lens, (spec_n, seq_len, overlap)
+
+    def test_config_scrapers(self):
+        import dataclasses
+
+        from dynamic_asr_eval_tpu.config import (
+            CutoutConfig,
+            FrameShuffleConfig,
+            SpecAugmentConfig,
+            get_lr_args_from_args,
+        )
+
+        lib = _ref_lib()
+        cases = [
+            argparse.Namespace(),
+            argparse.Namespace(optim_lr=3e-5, optim_weight_decay=0.1,
+                               optim_momentum=0.9, unrelated=1),
+            argparse.Namespace(
+                spec_augment_n_freq_masks=6, spec_augment_freq_mask_param=34,
+                spec_augment_zero_masking=True, optim_lr=1e-4),
+            argparse.Namespace(
+                spec_augment_n_time_masks=2, spec_augment_time_mask_param=7,
+                spec_augment_min_p=0.2, frame_shuffle_time_dimension=True,
+                cutout_num_rectangles=5, cutout_max_width=42,
+                cutout_max_height=3, cutout_value="zero"),
+            argparse.Namespace(frame_shuffle_freq_dimension=True),
+        ]
+        for ns in cases:
+            assert get_lr_args_from_args(ns) == lib.get_lr_args_from_args(ns)
+
+            ours = dataclasses.asdict(SpecAugmentConfig.from_args(ns))
+            ref = lib.get_specaugment_config_from_args(ns)
+            assert {k: ours[k] for k in ref} == ref, ns
+
+            ours = dataclasses.asdict(FrameShuffleConfig.from_args(ns))
+            ref = lib.get_frame_shuffle_config_from_args(ns)
+            assert {k: ours[k] for k in ref} == ref, ns
+
+            ours = dataclasses.asdict(CutoutConfig.from_args(ns, 123))
+            ref = lib.get_cutout_params_from_args(ns, 123)
+            assert {
+                "seq_len": ours["seq_len"], "cutout_val": ours["cutout_val"],
+                "num_rectangles": ours["num_rectangles"],
+                "max_width": ours["max_width"], "max_height": ours["max_height"],
+            } == ref, ns
+
+    def test_calc_rewards(self):
+        pytest.importorskip("sacrebleu")
+        from dynamic_asr_eval_tpu.tta.encdec_rl import calc_rewards
+
+        lib = _ref_lib()
+        rng = np.random.default_rng(1)
+        vocab = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far"]
+
+        def sent(n):
+            return " ".join(rng.choice(vocab) for _ in range(n))
+
+        cases = [
+            ("", [""]),                      # both empty → reward 1.0
+            ("", ["some words here"]),       # empty ref → -len(hyp words)
+            ("the cat sat", [""]),           # empty hyp, nonempty ref
+            (sent(8), [sent(8) for _ in range(4)]),
+            (sent(3), [sent(12), sent(1), "the cat sat"]),
+            ("the cat sat on a mat", ["the cat sat on a mat"]),  # exact
+        ]
+        for ref, hyps in cases:
+            ours = calc_rewards(ref, list(hyps))
+            theirs = lib.calc_rewards(ref, list(hyps))
+            np.testing.assert_allclose(ours, theirs, rtol=1e-9, atol=1e-12)
