@@ -69,6 +69,7 @@ def _ref_yaml_config(**overrides):
 
 
 class TestLoadReferenceCheckpoint:
+    @pytest.mark.slow
     def test_with_config_matches_direct_conversion(self, tmp_path):
         torch.manual_seed(0)
         tm = TorchSCConformer(**DIMS).eval()

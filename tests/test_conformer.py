@@ -130,6 +130,7 @@ class TestConformerForward:
         for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
+    @pytest.mark.slow
     def test_bf16_attention_logits_close_to_f32(self):
         """attention_logits_in_compute_dtype narrows only the materialized
         [B,H,T,S] score tensor; outputs must stay within bf16 noise of the

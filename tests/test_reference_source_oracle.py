@@ -131,6 +131,20 @@ def _ref_lib():
     # lib.py does `from enc_dec_teacher_filters import ...` by bare name
     sys.modules.setdefault("enc_dec_teacher_filters", _ref_filters())
 
+    # omegaconf: reuse the package's canonical unpickle-stub (shared with
+    # models/checkpoint.py — installing a private module here would make that
+    # stub think omegaconf is already provided and break checkpoint tests
+    # that run later), then graft the `OmegaConf.load` classmethod lib.py
+    # calls at import time (`lcasr/lib.py:1-5`) onto whatever class is there.
+    from dynamic_asr_eval_tpu.models.checkpoint import _install_omegaconf_stub
+
+    _install_omegaconf_stub()
+    oc = sys.modules["omegaconf"] if "omegaconf" in sys.modules else __import__("omegaconf")
+    if not hasattr(oc, "OmegaConf"):
+        oc.OmegaConf = type("OmegaConf", (), {})
+    if not hasattr(oc.OmegaConf, "load"):
+        oc.OmegaConf.load = staticmethod(lambda p: _Anything())
+
     class _EnglishTextNormalizer:
         def __call__(self, s):
             return _normalize(s)
@@ -139,11 +153,6 @@ def _ref_lib():
         "ref_lib",
         "lib.py",
         {
-            "omegaconf": {
-                "OmegaConf": type(
-                    "OmegaConf", (), {"load": staticmethod(lambda p: _Anything())}
-                )
-            },
             "lcasr": {},
             "lcasr.utils": {},
             "lcasr.utils.augmentation": {"SpecAugment": type("SpecAugment", (), {})},
@@ -168,8 +177,8 @@ def _ref_lib():
             "lcasr.eval.wer": {"word_error_rate_detail": _wer},
             "lming": {},
             "lming.utils": {"general": types.ModuleType("general")},
-            "matplotlib": {"pyplot": types.ModuleType("pyplot")},
-            "matplotlib.pyplot": {},
+            # matplotlib is REAL in this image — never stub it (a stub left
+            # in sys.modules breaks the analysis plotting tests)
             "torch_ema": {
                 "ExponentialMovingAverage": type(
                     "ExponentialMovingAverage", (), {}

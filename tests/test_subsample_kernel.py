@@ -76,7 +76,9 @@ class TestFusedSubsample:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
-    @pytest.mark.parametrize("T", [512, 700])
+    @pytest.mark.parametrize(
+        "T", [pytest.param(512, marks=pytest.mark.slow), 700]
+    )
     def test_gradient_parity(self, T):
         cfg = _cfg()
         mod, variables, x = _init(cfg, T, B=1, seed=3)

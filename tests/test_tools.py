@@ -83,6 +83,7 @@ class TestLexicon:
 
 
 class TestTLMTools:
+    @pytest.mark.slow
     def test_create_logits_and_rescore(self, tmp_path):
         from dynamic_asr_eval_tpu.config import TTAConfig
         from dynamic_asr_eval_tpu.evals.tlm_tools import create_logits, tlm_beam_rescore
@@ -229,6 +230,7 @@ class TestReplaceWithFrame:
 
 
 class TestEvalForEachCpt:
+    @pytest.mark.slow
     def test_iterates_checkpoints_and_reports_best(self, tmp_path, capsys):
         """Parity with lcasr/tedlium/bin/eval_for_each_cpt.py: every .ckpt in
         the folder is evaluated through the per-recording driver."""

@@ -96,6 +96,7 @@ class TestAdaptation:
         # originals untouched (restore-invariance is structural in JAX)
         assert out.numpy_logits().shape[1] == CFG.n_classes
 
+    @pytest.mark.slow
     def test_determinism(self, model_and_vars):
         model, variables = model_and_vars
         spec = make_spec(200)
@@ -104,6 +105,7 @@ class TestAdaptation:
         o2 = engine(variables, spec, rng=jax.random.PRNGKey(7), shuffle_rng=np.random.default_rng(1))
         np.testing.assert_array_equal(o1.numpy_logits(), o2.numpy_logits())
 
+    @pytest.mark.slow
     def test_online_mode(self, model_and_vars):
         model, variables = model_and_vars
         spec = make_spec(200)
@@ -129,6 +131,7 @@ class TestAdaptation:
         out = engine(variables, spec)
         assert np.isfinite(out.numpy_logits()).all()
 
+    @pytest.mark.slow
     def test_bitfit_only_touches_biases(self, model_and_vars):
         model, variables = model_and_vars
         spec = make_spec(150)
@@ -465,6 +468,7 @@ class TestBucketedProgramShapes:
         sig_b = (plan_b[0].shape, plan_b[2], plan_b[3], plan_b[7])
         assert sig_a == sig_b, (sig_a, sig_b)
 
+    @pytest.mark.slow
     def test_same_bucket_recordings_share_one_adapt_executable(
             self, model_and_vars):
         model, variables = model_and_vars
@@ -485,6 +489,7 @@ class TestBucketedProgramShapes:
         assert out_a.numpy_logits().shape[0] == -(-t_a // ds)
         assert out_b.numpy_logits().shape[0] == -(-t_b // ds)
 
+    @pytest.mark.slow
     def test_batched_groups_share_one_executable_across_max_lengths(
             self, model_and_vars):
         model, variables = model_and_vars
