@@ -216,6 +216,13 @@ class TTAConfig:
     train_subsampling_only: bool = False
     # AWMC
     ema_decay: float = 0.999
+    # torch_ema's ExponentialMovingAverage (the reference's actual EMA dep,
+    # lcasr/lib.py:26,245) defaults use_num_updates=True: the n-th update's
+    # effective decay is min(ema_decay, (1+n)/(10+n)) — far below 0.999 for
+    # TTA-length runs.  True reproduces the reference as it actually runs
+    # (pinned by tests/test_reference_source_loop_oracle.py); False gives the
+    # flat-decay variant the docstring-level reading of lib.py:245 suggests.
+    ema_use_num_updates: bool = True
     print_runtimes: bool = False
     # opt-in per-chunk "Pseudo targets / Noisy predictions" debug prints
     # (lcasr/lib.py:566-568 prints these unconditionally; here they are a
@@ -229,7 +236,13 @@ class TTAConfig:
         return cls(
             seq_len=g("seq_len", 16384),
             overlap=g("overlap", 14336),
-            epochs=1 if online else int(g("epochs", 1)),
+            # the reference computes a clamped `epochs = 1 if online` local
+            # but its epoch loop re-reads args.epochs (lcasr/lib.py:512-516
+            # vs :528), so online mode DOES run args.epochs adaptation epochs
+            # (each overwriting the stitch; the last epoch's wins) — keep
+            # that behavior; shuffle, by contrast, uses the clamped local
+            # (:517,:531) and so is genuinely forced off when online
+            epochs=int(g("epochs", 1)),
             shuffle=False if online else bool(g("shuffle", True)),
             online=online,
             random_noise=float(g("random_noise", 0.0)),
@@ -245,6 +258,7 @@ class TTAConfig:
             freeze_all_but_last_block_and_head=bool(g("freeze_all_but_last_block_and_head", False)),
             train_subsampling_only=bool(g("train_subsampling_only", False)),
             ema_decay=float(g("ema_decay", 0.999)),
+            ema_use_num_updates=bool(g("ema_use_num_updates", True)),
             print_runtimes=bool(g("print_runtimes", False)),
             print_pseudo_labels=bool(g("print_pseudo_labels", False)),
         )

@@ -7,7 +7,11 @@ per chunk, for each (inner) epoch:
   1. epoch 0 only: pseudo-labels from the *anchor* model (EMA decay 1.0 — the
      original weights, ``lcasr/lib.py:248``);
   2. pseudo-labels from the *leader* EMA model (decay ``ema_decay``, default
-     0.999, ``:245``);
+     0.999, ``:245``; the reference's EMA is ``torch_ema`` whose default
+     ``use_num_updates=True`` caps the n-th update's decay at
+     ``min(ema_decay, (1+n)/(10+n))`` — reproduced here, pinned against the
+     reference source by ``tests/test_reference_source_loop_oracle.py``;
+     ``TTAConfig.ema_use_num_updates=False`` restores flat decay);
   3. student forward on the augmented chunk; summed CTC loss against both
      label banks, normalized by ``frames × batch × 2`` (``:322-330``);
   4. optimizer step, then leader-EMA update (``:335-337``);
@@ -48,6 +52,13 @@ class AWMCEngine(DynamicEvalEngine):
         max_tokens = max(8, int(T_ds_static * self.max_label_frames_ratio))
         V = self.n_classes
         ema_d = self.config.ema_decay
+        # The reference's EMA is torch_ema.ExponentialMovingAverage
+        # (lcasr/lib.py:26,245) whose DEFAULT use_num_updates=True caps the
+        # effective decay at min(decay, (1+n)/(10+n)) for the n-th update —
+        # far below 0.999 for the length of a typical TTA run (n≈#windows).
+        # The leader's counter starts at 1: the construction-time .update()
+        # (lcasr/lib.py:246) is a value no-op (shadow==params) but advances n.
+        use_nu = self.config.ema_use_num_updates
 
         def decode_with(p, extra_vars, w, l):
             out = self._forward({"params": p, **extra_vars}, w[None], jnp.full((1,), l, jnp.int32))
@@ -57,16 +68,16 @@ class AWMCEngine(DynamicEvalEngine):
             return labels, lab_len, ds_len
 
         def chunk_step(extra_vars, anchor_params, spec_dev, carry, xs):
-            params, opt_state, leader, key, acc = carry
+            params, opt_state, leader, n_upd, key, acc = carry
             start, w_len, start_ds = xs
             F = spec_dev.shape[0]
             window = jax.lax.dynamic_slice(spec_dev, (0, start), (F, W)).astype(jnp.float32)
 
-            def do_chunk(params, opt_state, leader, key):
+            def do_chunk(params, opt_state, leader, n_upd, key):
                 anchor_labels, anchor_len, _ = decode_with(anchor_params, extra_vars, window, w_len)
 
                 def epoch_body(j, state):
-                    params, opt_state, leader, key = state
+                    params, opt_state, leader, n_upd, key = state
                     key, k_aug = jax.random.split(key)
                     leader_labels, leader_len, _ = decode_with(leader, extra_vars, window, w_len)
                     aug = apply_augmentation_pipeline(
@@ -102,29 +113,34 @@ class AWMCEngine(DynamicEvalEngine):
                     grads = jax.grad(loss_fn)(params)
                     updates, opt_state = self.optimizer.update(grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
-                    leader = jax.tree.map(
-                        lambda e, p: ema_d * e + (1.0 - ema_d) * p, leader, params
+                    n_upd = n_upd + 1.0
+                    d_t = (
+                        jnp.minimum(ema_d, (1.0 + n_upd) / (10.0 + n_upd))
+                        if use_nu else jnp.float32(ema_d)
                     )
-                    return (params, opt_state, leader, key)
+                    leader = jax.tree.map(
+                        lambda e, p: d_t * e + (1.0 - d_t) * p, leader, params
+                    )
+                    return (params, opt_state, leader, n_upd, key)
 
-                params2, opt_state2, leader2, key2 = jax.lax.fori_loop(
-                    0, epochs, epoch_body, (params, opt_state, leader, key)
+                params2, opt_state2, leader2, n_upd2, key2 = jax.lax.fori_loop(
+                    0, epochs, epoch_body, (params, opt_state, leader, n_upd, key)
                 )
                 out = self._forward(
                     {"params": params2, **extra_vars}, window[None],
                     jnp.full((1,), w_len, jnp.int32),
                 )
-                return params2, opt_state2, leader2, key2, out["final_posteriors"][0], out["length"][0]
+                return params2, opt_state2, leader2, n_upd2, key2, out["final_posteriors"][0], out["length"][0]
 
-            def skip(params, opt_state, leader, key):
+            def skip(params, opt_state, leader, n_upd, key):
                 return (
-                    params, opt_state, leader, key,
+                    params, opt_state, leader, n_upd, key,
                     jnp.zeros((T_ds_static, V), jnp.float32),
                     jnp.asarray(0, jnp.int32),
                 )
 
-            params, opt_state, leader, key, clean_lp, ds_len = jax.lax.cond(
-                w_len > 0, do_chunk, skip, params, opt_state, leader, key
+            params, opt_state, leader, n_upd, key, clean_lp, ds_len = jax.lax.cond(
+                w_len > 0, do_chunk, skip, params, opt_state, leader, n_upd, key
             )
 
             acc_probs, acc_counts = acc
@@ -134,18 +150,19 @@ class AWMCEngine(DynamicEvalEngine):
             acc_probs = acc_probs.at[pos].add(jnp.exp(clean_lp) * m[:, None], mode="drop")
             acc_counts = acc_counts.at[pos].add(m.astype(jnp.float32), mode="drop")
 
-            return (params, opt_state, leader, key, (acc_probs, acc_counts)), None
+            return (params, opt_state, leader, n_upd, key, (acc_probs, acc_counts)), None
 
         def run(params, extra_vars, spec_dev, starts, lengths, starts_ds, key):
             opt_state = self.optimizer.init(params)
             step = partial(chunk_step, extra_vars, params, spec_dev)
             leader = params  # leader EMA starts at the anchor
+            n_upd0 = jnp.float32(1.0)  # construction-time update, lib.py:246
             acc0 = (
                 jnp.zeros((total_ds + 1, V), jnp.float32),
                 jnp.zeros((total_ds + 1,), jnp.float32),
             )
-            (adapted, _, _, _, acc), _ = jax.lax.scan(
-                step, (params, opt_state, leader, key, acc0),
+            (adapted, _, _, _, _, acc), _ = jax.lax.scan(
+                step, (params, opt_state, leader, n_upd0, key, acc0),
                 (starts, lengths, starts_ds),
             )
             log_avg = jnp.log(

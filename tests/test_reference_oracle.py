@@ -280,6 +280,13 @@ def torch_awmc(model, spec, seq_len, overlap, lr, epochs, ema_decay):
     divided by ``frames × batch × 2`` (``:322-330``); MADGRAD step, then the
     leader EMA updates (``:335-337``); after the last epoch a clean no-grad
     forward with the adapted weights is stitched (``:339-349``).
+
+    The leader EMA follows torch_ema's default ``use_num_updates=True``
+    schedule (the reference's actual dependency, ``lcasr/lib.py:26,245``):
+    the n-th ``update()`` uses ``min(ema_decay, (1+n)/(10+n))``, and the
+    counter starts at 1 because of the construction-time update
+    (``:246``) — pinned against the reference source itself by
+    ``tests/test_reference_source_loop_oracle.py``.
     """
     blank = model.decoder.num_classes - 1
     V = model.decoder.num_classes
@@ -291,6 +298,7 @@ def torch_awmc(model, spec, seq_len, overlap, lr, epochs, ema_decay):
     model.eval()
     anchor = [p.detach().clone() for p in model.parameters()]
     leader = [p.detach().clone() for p in model.parameters()]
+    n_upd = 1  # construction-time leader update (lcasr/lib.py:246)
 
     def decode_with(weights, chunk):
         backup = [p.detach().clone() for p in model.parameters()]
@@ -324,9 +332,11 @@ def torch_awmc(model, spec, seq_len, overlap, lr, epochs, ema_decay):
             optimizer.zero_grad()
             loss.backward()
             optimizer.step()
+            n_upd += 1
+            d_t = min(ema_decay, (1 + n_upd) / (10 + n_upd))
             with torch.no_grad():
                 for e, p in zip(leader, model.parameters()):
-                    e.mul_(ema_decay).add_((1.0 - ema_decay) * p)
+                    e.mul_(d_t).add_((1.0 - d_t) * p)
             if j == epochs - 1:
                 with torch.no_grad():
                     fin = model(audio_signal=chunk)["final_posteriors"]
