@@ -57,13 +57,19 @@ def main(args) -> float:
     from dynamic_asr_eval_tpu.models.wav2vec2 import Wav2Vec2Config, init_wav2vec2
 
     tokenizer = CharTokenizer()
+    # the reference runs every window/utterance through the HF processor's
+    # feature extractor (zero-mean/unit-var, ``wav2vec2/lib.py:161,406``);
+    # the model-level flag reproduces that inside the jitted forward.
+    # ``--raw_input`` opts out.
+    norm_in = not getattr(args, "raw_input", False)
     if getattr(args, "full_size", False):
-        cfg = Wav2Vec2Config(vocab_size=tokenizer.vocab_size() + 1)
+        cfg = Wav2Vec2Config(vocab_size=tokenizer.vocab_size() + 1,
+                             normalize_input=norm_in)
     else:
         cfg = Wav2Vec2Config(
             vocab_size=tokenizer.vocab_size() + 1, hidden=64, n_layers=2,
             n_heads=2, ff_dim=128, conv_dim=32, pos_conv_kernel=16,
-            pos_conv_groups=4,
+            pos_conv_groups=4, normalize_input=norm_in,
         )
     blank = 0  # HF convention
     model, variables = init_wav2vec2(
@@ -94,6 +100,10 @@ def main(args) -> float:
             model, blank, cfg.downsampling_factor, tta, augment_fn=aug,
             accumulate_gradients=int(vars(args).get("accumulate_gradients", 1)),
             prob_collection=str(vars(args).get("prob_collection", "online")),
+            # the reference per-utterance loop runs CTCLoss(reduction='mean')
+            # with the frame division commented out (wav2vec2/lib.py:351,434)
+            loss_norm=str(vars(args).get("loss_norm", "ctc_mean")),
+            clip_norm=float(vars(args).get("clip_norm", 10.0)),
         )
 
         def run_one(rec):
@@ -145,6 +155,17 @@ def cli(argv=None):
     parser.add_argument("-s", "--save_path", type=str, default="")
     parser.add_argument("--prob_collection", choices=["online", "final"],
                         default="online")
+    parser.add_argument("--loss_norm", choices=["frames", "ctc_mean"],
+                        default="ctc_mean",
+                        help="per-utterance CTC loss normalization: the "
+                             "reference's CTCLoss(reduction='mean') "
+                             "(ctc_mean) or frames x negatives (frames)")
+    parser.add_argument("--clip_norm", type=float, default=10.0,
+                        help="grad-norm clip for per-utterance TTA "
+                             "(reference clips at 10.0)")
+    parser.add_argument("--raw_input", action="store_true",
+                        help="skip the HF-processor-equivalent per-sequence "
+                             "zero-mean/unit-var input normalization")
     parser.add_argument("--quiet", action="store_true")
     args = apply_args(parser, argv)
     return main(args)

@@ -49,6 +49,15 @@ class Wav2Vec2Config:
     # lv60 family (pre-norm blocks, encoder LayerNorm after the stack)
     stable_layer_norm: bool = False
     layer_norm_eps: float = 1e-5  # HF default (flax's default is 1e-6)
+    # The reference pipeline runs EVERY waveform through the HF processor's
+    # feature extractor before the model (``wav2vec2/lib.py:161,406``), whose
+    # ``do_normalize=True`` (the -base-960h default) applies per-sequence
+    # zero-mean/unit-var normalization ``(x - mean)/sqrt(var + 1e-7)``.  The
+    # HF MODEL itself does not normalize, so this stays False for the
+    # converter-parity tests; the wav2vec2 drivers enable it to reproduce the
+    # full reference pipeline (stats over the valid length only, so padded
+    # bucket forwards equal unpadded ones).
+    normalize_input: bool = False
     compute_dtype: Any = jnp.float32
 
     @property
@@ -172,7 +181,15 @@ class Wav2Vec2ForCTC(nn.Module):
         B, T = x.shape
         if length is None:
             length = jnp.full((B,), T, jnp.int32)
-        x = jnp.where(jnp.arange(T)[None, :] < length[:, None], x, 0.0)
+        smask = jnp.arange(T)[None, :] < length[:, None]
+        x = jnp.where(smask, x, 0.0)
+        if cfg.normalize_input:
+            # HF Wav2Vec2FeatureExtractor.zero_mean_unit_var_norm over the
+            # valid samples (population variance, eps 1e-7)
+            cnt = jnp.maximum(length.astype(jnp.float32), 1.0)[:, None]
+            mean = x.sum(axis=1, keepdims=True) / cnt
+            var = (jnp.square(x - mean) * smask).sum(axis=1, keepdims=True) / cnt
+            x = jnp.where(smask, (x - mean) / jnp.sqrt(var + 1e-7), 0.0)
 
         feats = FeatureEncoder(cfg, name="feature_encoder")(x, length)
         Tf = feats.shape[1]

@@ -105,7 +105,29 @@ class EncDecDynamicEvalEngine:
             opt_args = dict(tta_config.optim_args)
             lr = opt_args.pop("lr", 9e-5)
             optimizer = madgrad(learning_rate=lr, **opt_args)
-        self.optimizer = optimizer
+        # The reference freezes the positional-encoding modules before
+        # building the TTA optimizer (``modules_to_freeze = [model.
+        # language_model_decoder.pos_enc, model.pos_enc]``, lcasr/lib.py:
+        # 1505-1535): frozen torch params never receive grads, so the
+        # optimizer neither updates them nor accumulates state for them.
+        # The encoder's positions are rotary (parameter-free) here, so the
+        # decoder's learned text positional embedding (``pos_enc`` in the
+        # flax tree) is the only affected leaf.  multi_transform (NOT
+        # optax.masked, which passes un-masked leaves' raw grads through as
+        # updates) routes it to set_to_zero.  Pinned against the reference
+        # source by tests/test_reference_source_encdec_oracle.py.
+        def _labels(params):
+            def lab(path, _):
+                frozen = any(
+                    getattr(k, "key", getattr(k, "name", None)) == "pos_enc"
+                    for k in path
+                )
+                return "freeze" if frozen else "train"
+            return jax.tree_util.tree_map_with_path(lab, params)
+
+        self.optimizer = optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()}, _labels
+        )
         self._jit_cache: Dict = {}
 
     # -- jitted pieces ------------------------------------------------------

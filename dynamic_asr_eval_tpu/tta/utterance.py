@@ -58,6 +58,7 @@ class UtteranceTTAEngine:
         pseudo_label_fn: Optional[Callable] = None,
         clip_norm: Optional[float] = None,  # reference _su clips at 10.0
         prob_collection: str = "online",  # "online" | "final"
+        loss_norm: str = "frames",  # "frames" | "ctc_mean"
     ):
         # "online" stores each utterance's clean-stream log-probs from the
         # forward that produced its loss — i.e. under the weights current at
@@ -69,6 +70,16 @@ class UtteranceTTAEngine:
         # (uniform weights across utterances; not what the reference does).
         if prob_collection not in ("online", "final"):
             raise ValueError(f"prob_collection: {prob_collection!r}")
+        # "frames": summed CTC loss / (frames × negatives) — the normalization
+        # the windowed loops use (wav2vec2/lib.py:178-180, lcasr_nemo 151-153).
+        # "ctc_mean": torch ``CTCLoss(reduction='mean')`` semantics — each
+        # sample's loss divided by its TARGET length (clamped ≥1), averaged
+        # over the batch.  This is what the wav2vec2 per-utterance loop
+        # actually runs (``wav2vec2/lib.py:351`` + the commented-out frame
+        # division at ``:434``), pinned against the reference source by
+        # tests/test_reference_source_w2v_oracle.py.
+        if loss_norm not in ("frames", "ctc_mean"):
+            raise ValueError(f"loss_norm: {loss_norm!r}")
         self.model = model
         self.blank_id = blank_id
         self.ds = subsampling_factor
@@ -82,6 +93,7 @@ class UtteranceTTAEngine:
         self.pseudo_label_fn = pseudo_label_fn
         self.clip_norm = clip_norm
         self.prob_collection = prob_collection
+        self.loss_norm = loss_norm
         if optimizer is None:
             opt_args = dict(config.optim_args)
             lr = opt_args.pop("lr", 9e-5)
@@ -113,13 +125,26 @@ class UtteranceTTAEngine:
                 g_labels, g_len = greedy_labels(clean_lp, ds_len, self.blank_id, max_tokens)
                 labels = jnp.where(use_ext, ext_labels, g_labels)
                 lab_len = jnp.where(use_ext, ext_len, g_len)
-                loss = ctc_loss(
-                    lp[:nn_neg],
-                    jnp.full((nn_neg,), ds_len, jnp.int32),
-                    jnp.repeat(labels[None], nn_neg, axis=0),
-                    jnp.full((nn_neg,), lab_len, jnp.int32),
-                    blank_id=self.blank_id,
-                ) / (jnp.maximum(ds_len, 1) * nn_neg)
+                if self.loss_norm == "ctc_mean":
+                    # torch CTCLoss(reduction='mean'): per-sample loss over
+                    # target length (clamped ≥1), averaged over the batch
+                    w = 1.0 / jnp.maximum(lab_len, 1).astype(jnp.float32)
+                    loss = ctc_loss(
+                        lp[:nn_neg],
+                        jnp.full((nn_neg,), ds_len, jnp.int32),
+                        jnp.repeat(labels[None], nn_neg, axis=0),
+                        jnp.full((nn_neg,), lab_len, jnp.int32),
+                        blank_id=self.blank_id,
+                        sample_weights=jnp.full((nn_neg,), 1.0) * w,
+                    ) / nn_neg
+                else:
+                    loss = ctc_loss(
+                        lp[:nn_neg],
+                        jnp.full((nn_neg,), ds_len, jnp.int32),
+                        jnp.repeat(labels[None], nn_neg, axis=0),
+                        jnp.full((nn_neg,), lab_len, jnp.int32),
+                        blank_id=self.blank_id,
+                    ) / (jnp.maximum(ds_len, 1) * nn_neg)
                 if self.soft_dtw_weight > 0:
                     # soft-DTW alignment between augmented and clean
                     # posterior sequences (teacher alignment loss; reference

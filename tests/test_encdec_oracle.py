@@ -83,6 +83,11 @@ PARAM_TOL = 1e-4
 def _setup(seed=0):
     torch.manual_seed(seed)
     tm = TorchEncDec(DIMS, **DEC).eval()
+    # the reference freezes the decoder text positional embedding (and the
+    # parameter-free encoder positions) before the TTA optimizer is built
+    # (lcasr/lib.py:1505-1535) — the engine masks the same leaf, so the
+    # torch mirror must skip it too (its grad stays None below)
+    tm.pos_enc.weight.requires_grad_(False)
     cfg = EncDecConfig(
         encoder=ConformerConfig(compute_dtype=jnp.float32, **DIMS),
         bos_id=0, eos_id=0, ctc_loss_weight=0.3, **DEC,
