@@ -31,8 +31,15 @@ from dynamic_asr_eval_tpu.text import normalize
 
 
 def main(args) -> float:
-    model, variables, tokenizer, cfg = load_model_and_tokenizer(args)
     engine_kind = "awmc" if getattr(args, "awmc", False) else "dynamic_eval"
+    if engine_kind == "awmc" and getattr(args, "dp_records", False):
+        # AWMCEngine inherits DynamicEvalEngine but does not override
+        # batched(): --dp_records would silently run NSTI adaptation on the
+        # record groups instead of the anchor/leader scheme.  Fail loudly.
+        raise SystemExit(
+            "--dp_records is not implemented for the AWMC engine "
+            "(records-DP batching currently covers the NSTI engine only)")
+    model, variables, tokenizer, cfg = load_model_and_tokenizer(args)
     records = get_dataset(args.dataset, args.split)
 
     beam_search_fn, lm_adapter, batched_decode_fn = None, None, None

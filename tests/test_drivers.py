@@ -49,6 +49,16 @@ class TestPerRecordingDrivers:
                    "-s", str(tmp_path / "r.pkl")] + KW)
         assert 0.0 <= wer < 10.0
 
+    def test_awmc_rejects_dp_records(self):
+        """AWMC has no batched() path: --awmc --dp_records must fail loudly
+        instead of silently running NSTI adaptation on the record groups."""
+        import pytest
+
+        from dynamic_asr_eval_tpu.evals.run import cli
+
+        with pytest.raises(SystemExit, match="AWMC"):
+            cli(["-d", "synthetic", "--quiet", "--awmc", "--dp_records"] + KW)
+
     @staticmethod
     def _save_tiny_lm(tmp_path):
         import jax
